@@ -1,0 +1,35 @@
+from gnn_computing_tpu.ops.spmm import (
+    spmm,
+    spmm_xla,
+    spmm_transpose_xla,
+    sddmm_slots_xla,
+    slots_from_edge_values,
+    edge_values_from_slots,
+)
+from gnn_computing_tpu.ops.sddmm import sddmm
+from gnn_computing_tpu.ops.gat import (
+    gat_aggregate,
+    gat_split_forward,
+    att_gat,
+    u_add_v,
+    add_to_center,
+    div_each,
+    leaky_relu,
+)
+
+__all__ = [
+    "spmm",
+    "spmm_xla",
+    "spmm_transpose_xla",
+    "sddmm",
+    "sddmm_slots_xla",
+    "slots_from_edge_values",
+    "edge_values_from_slots",
+    "gat_aggregate",
+    "gat_split_forward",
+    "att_gat",
+    "u_add_v",
+    "add_to_center",
+    "div_each",
+    "leaky_relu",
+]

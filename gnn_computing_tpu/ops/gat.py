@@ -1,0 +1,168 @@
+"""GAT edge-attention operators: fused and split-kernel pipelines.
+
+Fused path — semantics of reference ``aggr_gat`` / ``aggr_gat_fine`` +
+``scaleArray`` (aggr_gat.h:116-213): per edge (j -> i)
+
+    score_e = exp(leakyrelu(att[i, 0] + att[j, 1], slope))
+    out[i]  = (sum_e score_e * h[j]) / (sum_e score_e)     [0-sum rows kept 0]
+
+computed in ONE traced computation — attention, softmax numerator/denominator
+and weighted aggregation share the single gather of ``h`` rows; XLA fuses the
+elementwise pipeline into the aggregation exactly where the reference fuses
+kernels.  The two-phase denominator (task partial sums -> segment-sum ->
+divide) mirrors the reference's scalar/scaleArray design.
+
+Split path — the reference's un-fused "base" pipeline used by the Figure 10a
+fusion ablation and by our.py's ``gat_layer_our`` (aggr_gat.h:33-92,395-425):
+``u_add_v`` -> exp(leakyrelu) -> ``add_to_center`` -> ``each_div`` -> weighted
+SpMM, each a separate op here.
+
+Numerical note: the reference applies exp without max-subtraction; pass
+``stabilize=True`` for the max-subtracted (mathematically identical) form
+needed when attention logits are large.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gnn_computing_tpu.schedule.plan import AggregationPlan
+from gnn_computing_tpu.ops.spmm import spmm
+
+DEFAULT_SLOPE = 0.2  # reference run() calls, aggr_gat.h:339,347
+
+
+def leaky_relu(x, slope: float = DEFAULT_SLOPE):
+    """max(x, slope * x) — reference __expf(max(tmpsum, tmpsum*relu_l))
+    inner form (aggr_gat.h:143)."""
+    return jnp.maximum(x, x * slope)
+
+
+def _att_slots(plan: AggregationPlan, att: jnp.ndarray):
+    """z[t, s] = att[dst_t, 0] + att[src_{t,s}, 1] on valid slots.
+
+    ``att`` is the reference's 2-wide per-node attention tensor
+    (``transform[v*2]`` = dst part, ``transform[v*2+1]`` = src part,
+    aggr_gat.h:125,138)."""
+    a_dst = jnp.take(att[:, 0], jnp.asarray(plan.dst))  # [nt]
+    a_src = jnp.take(att[:, 1], jnp.asarray(plan.src))  # [nt, B]
+    return a_dst[:, None] + a_src
+
+
+def gat_aggregate(
+    plan: AggregationPlan,
+    h: jnp.ndarray,
+    att: jnp.ndarray,
+    relu_slope: float = DEFAULT_SLOPE,
+    stabilize: bool = False,
+    return_scores: bool = False,
+):
+    """Fused attention + softmax + aggregation (reference aggr_gat_fine)."""
+    mask = plan.slot_mask()
+    z = _att_slots(plan, att)
+    z = leaky_relu(z, relu_slope)
+    dst = jnp.asarray(plan.dst)
+    if stabilize:
+        task_max = jnp.max(jnp.where(mask, z, -jnp.inf), axis=1)
+        row_max = jax.ops.segment_max(
+            task_max,
+            dst,
+            num_segments=plan.num_nodes,
+            indices_are_sorted=plan.sorted_by_dst,
+        )
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+        z = z - row_max[dst][:, None]
+    score = jnp.where(mask, jnp.exp(z), 0.0)  # [nt, B]
+
+    gathered = jnp.take(h, jnp.asarray(plan.src), axis=0)  # [nt, B, f]
+    num_task = jnp.einsum(
+        "tbf,tb->tf", gathered, score.astype(gathered.dtype)
+    )
+    denom_task = jnp.sum(score, axis=1)
+    num = jax.ops.segment_sum(
+        num_task, dst, num_segments=plan.num_nodes,
+        indices_are_sorted=plan.sorted_by_dst,
+    )
+    denom = jax.ops.segment_sum(
+        denom_task, dst, num_segments=plan.num_nodes,
+        indices_are_sorted=plan.sorted_by_dst,
+    )
+    # scaleArray: divide only where the denominator is nonzero
+    # (aggr_gat.h:207-213).
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    out = num / safe[:, None].astype(num.dtype)
+    if return_scores:
+        return out, score, denom
+    return out
+
+
+# ------------------------------------------------- split-kernel GAT pipeline
+def u_add_v(plan: AggregationPlan, att: jnp.ndarray) -> jnp.ndarray:
+    """Edge score = att[dst, 0] + att[src, 1], slot layout (reference
+    ``u_add_v``, aggr_gat.h:33-48)."""
+    return jnp.where(plan.slot_mask(), _att_slots(plan, att), 0.0)
+
+
+def add_to_center(
+    plan: AggregationPlan, slot_val: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-destination sum of edge values (reference ``add_to_center``,
+    aggr_gat.h:50-74)."""
+    task = jnp.sum(jnp.where(plan.slot_mask(), slot_val, 0.0), axis=1)
+    return jax.ops.segment_sum(
+        task,
+        jnp.asarray(plan.dst),
+        num_segments=plan.num_nodes,
+        indices_are_sorted=plan.sorted_by_dst,
+    )
+
+
+def div_each(
+    plan: AggregationPlan, slot_val: jnp.ndarray, node_val: jnp.ndarray
+) -> jnp.ndarray:
+    """Edge value /= its destination's node value (reference ``each_div``,
+    aggr_gat.h:76-92). Zero node values divide to zero rather than inf."""
+    d = jnp.take(node_val, jnp.asarray(plan.dst))[:, None]
+    safe = jnp.where(d == 0.0, 1.0, d)
+    return jnp.where(plan.slot_mask(), slot_val / safe, 0.0)
+
+
+def att_gat(
+    plan: AggregationPlan,
+    att: jnp.ndarray,
+    relu_slope: float = DEFAULT_SLOPE,
+) -> jnp.ndarray:
+    """The "adapter" kernel (reference ``attGat``, aggr_gat.h:5-31): fused
+    u_add_v + exp(leakyrelu) + row-sum + normalize, producing normalized
+    per-edge attention in slot layout ready for a weighted SpMM."""
+    mask = plan.slot_mask()
+    score = jnp.where(
+        mask, jnp.exp(leaky_relu(_att_slots(plan, att), relu_slope)), 0.0
+    )
+    denom = add_to_center(plan, score)
+    return div_each(plan, score, denom)
+
+
+def gat_split_forward(
+    plan: AggregationPlan,
+    h: jnp.ndarray,
+    att: jnp.ndarray,
+    relu_slope: float = DEFAULT_SLOPE,
+    use_adapter: bool = False,
+) -> jnp.ndarray:
+    """The Figure-10a "base"/"adapter" pipelines: compute normalized attention
+    with split ops (or the attGat adapter), then weighted-SpMM with the edge
+    values swapped in (reference gat_layer_our, our.py:138-157)."""
+    if use_adapter:
+        a = att_gat(plan, att, relu_slope)
+    else:
+        z = u_add_v(plan, att)
+        score = jnp.where(
+            plan.slot_mask(), jnp.exp(leaky_relu(z, relu_slope)), 0.0
+        )
+        denom = add_to_center(plan, score)
+        a = div_each(plan, score, denom)
+    return spmm(plan, h, val=a)

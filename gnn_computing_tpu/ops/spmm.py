@@ -1,0 +1,161 @@
+"""SpMM neighbor aggregation: the keystone operator.
+
+Computes ``out[i] = sum_{e=(j->i)} val[e] * h[j]`` over a scheduled plan —
+the semantics of the reference's GCN aggregation kernels (aggr_gcn.h:5-114)
+— with multiple TPU strategies:
+
+  * ``xla``    — gather + per-task einsum reduce + one segment-sum.  XLA fuses
+                 the gather/multiply/reduce; the segment-sum over task rows
+                 (tasks/row = ceil(deg/B)) replaces the reference's atomicAdd
+                 (deterministically).  Always available, used as the reference
+                 implementation for validation.
+  * ``pallas`` — hand-tiled Pallas kernel (ops/pallas_spmm.py), selected when
+                 beneficial.
+
+Backward pass (jax.custom_vjp): dH = A^T @ dOut is the same SpMM with src/dst
+roles flipped (slot-scatter form), and dVal = SDDMM(h, dOut) — the operator
+pairing the reference hand-fuses in aggr_gat_fine_bwd (aggr_gat.h:222-294).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gnn_computing_tpu.schedule.plan import AggregationPlan
+
+
+# --------------------------------------------------------------- slot helpers
+def slot_positions(plan: AggregationPlan):
+    """Scheduled edge position of every (task, slot): cum_count[t] + b.
+
+    Tasks tile the scheduled edge sequence contiguously in order, so the
+    exclusive cumsum of counts recovers each task's first scheduled edge.
+    """
+    count = jnp.asarray(plan.count)
+    cum = jnp.cumsum(count) - count  # exclusive
+    b = jnp.arange(plan.block_size, dtype=count.dtype)[None, :]
+    return cum[:, None] + b  # [nt, B]
+
+
+def slots_from_edge_values(plan: AggregationPlan, edge_val: jnp.ndarray):
+    """Spread per-edge values (original CSR edge order) into [nt, B] slots.
+
+    The analog of the value-carrying in the reference schedules
+    (graph_schedule.h:41-42) and of ``updateval`` (aggr_gcn.h:540-548).
+    """
+    pos = slot_positions(plan)
+    if plan.edge_perm is not None:
+        edge_val = edge_val[jnp.asarray(plan.edge_perm)]
+    mask = plan.slot_mask()
+    safe = jnp.minimum(pos, max(plan.num_edges - 1, 0))
+    return jnp.where(mask, edge_val[safe], 0.0)
+
+
+def edge_values_from_slots(plan: AggregationPlan, slot_val: jnp.ndarray):
+    """Inverse of slots_from_edge_values: collect [nt, B] slot values back to
+    per-edge original CSR order (for ops that *produce* edge values, e.g.
+    SDDMM / GAT attention scores)."""
+    pos = slot_positions(plan)
+    mask = plan.slot_mask()
+    flat_pos = jnp.where(mask, pos, plan.num_edges)  # pads -> dropped
+    out = jnp.zeros((plan.num_edges,), slot_val.dtype)
+    out = out.at[flat_pos.reshape(-1)].set(
+        slot_val.reshape(-1), mode="drop"
+    )
+    if plan.edge_perm is not None:
+        inv = jnp.zeros((plan.num_edges,), jnp.int32)
+        inv = inv.at[jnp.asarray(plan.edge_perm)].set(
+            jnp.arange(plan.num_edges, dtype=jnp.int32)
+        )
+        out = out[inv]
+    return out
+
+
+def _resolve_val(plan: AggregationPlan, val) -> jnp.ndarray:
+    if val is None:
+        assert plan.val is not None, "plan has no edge values"
+        return jnp.asarray(plan.val)
+    val = jnp.asarray(val)
+    assert val.shape == (plan.num_tasks_padded, plan.block_size), (
+        f"val must be in slot layout {(plan.num_tasks_padded, plan.block_size)}"
+        f", got {val.shape}; use slots_from_edge_values for per-edge vals"
+    )
+    return val
+
+
+# ------------------------------------------------------------- XLA strategies
+def spmm_xla(
+    plan: AggregationPlan, h: jnp.ndarray, val=None
+) -> jnp.ndarray:
+    """Gather -> per-task weighted reduce -> segment-sum."""
+    v = _resolve_val(plan, val)
+    src = jnp.asarray(plan.src)
+    gathered = jnp.take(h, src, axis=0)  # [nt, B, f]
+    task = jnp.einsum(
+        "tbf,tb->tf", gathered, v.astype(gathered.dtype)
+    )
+    return jax.ops.segment_sum(
+        task,
+        jnp.asarray(plan.dst),
+        num_segments=plan.num_nodes,
+        indices_are_sorted=plan.sorted_by_dst,
+    )
+
+
+def spmm_transpose_xla(
+    plan: AggregationPlan, g_out: jnp.ndarray, val=None
+) -> jnp.ndarray:
+    """A^T @ g_out using the forward plan: scatter slot contributions to
+    sources.  out[s] = sum_{(t,b): src=s} val[t,b] * g_out[dst[t]]."""
+    v = _resolve_val(plan, val)
+    dst_rows = jnp.take(g_out, jnp.asarray(plan.dst), axis=0)  # [nt, f]
+    contrib = dst_rows[:, None, :] * v[:, :, None].astype(g_out.dtype)
+    flat_src = jnp.asarray(plan.src).reshape(-1)
+    return jax.ops.segment_sum(
+        contrib.reshape(-1, g_out.shape[-1]),
+        flat_src,
+        num_segments=plan.n_src,
+    )
+
+
+def sddmm_slots_xla(
+    plan: AggregationPlan, a: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-slot dot products: out[t, s] = <a[src[t, s]], b[dst[t]]>, zero in
+    pad slots.  Semantics of reference aggr_sddmm (aggr_sddmm.h:5-43)."""
+    ga = jnp.take(a, jnp.asarray(plan.src), axis=0)  # [nt, B, f]
+    gb = jnp.take(b, jnp.asarray(plan.dst), axis=0)  # [nt, f]
+    out = jnp.einsum("tbf,tf->tb", ga, gb)
+    return jnp.where(plan.slot_mask(), out, 0.0)
+
+
+# ------------------------------------------------------- public op (dispatch)
+def spmm(
+    plan: AggregationPlan,
+    h: jnp.ndarray,
+    val: Optional[jnp.ndarray] = None,
+    strategy: str = "auto",
+) -> jnp.ndarray:
+    """Aggregate neighbor features: out[n, f] = A_plan @ h.
+
+    ``val``: optional [num_tasks_padded, B] slot-layout edge values overriding
+    the plan's (differentiable).  ``strategy``: 'auto' | 'xla' | 'pallas'.
+
+    The XLA strategy is autodiff-native: its derived VJP is exactly
+    (A^T-gather-scatter, slot-SDDMM) — the operator pair the reference
+    hand-writes for GAT backward (aggr_gat.h:222-294).  Pallas strategies
+    carry custom VJPs built from the same pair.
+    """
+    if strategy in ("auto", "pallas"):
+        from gnn_computing_tpu.ops import pallas_spmm
+
+        use = (strategy == "pallas" and pallas_spmm.supported(plan, h)) or (
+            strategy == "auto" and pallas_spmm.preferred(plan, h)
+        )
+        if use:
+            return pallas_spmm.spmm_pallas(plan, h, val)
+    return spmm_xla(plan, h, val)

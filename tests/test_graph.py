@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from gnn_computing_tpu.graph import (
+    CSRGraph,
+    rmat_graph,
+    uniform_graph,
+    fixed_degree_graph,
+    load_graph,
+    save_graph,
+)
+from gnn_computing_tpu.graph.io import save_reorder
+
+
+def test_from_edges_roundtrip():
+    dst = np.array([2, 0, 1, 0, 2, 2])
+    src = np.array([1, 2, 0, 1, 0, 1])
+    g = CSRGraph.from_edges(dst, src, 3)
+    assert g.num_nodes == 3 and g.num_edges == 6
+    assert g.degrees.tolist() == [2, 1, 3]
+    # row 0 edges: srcs {2, 1}; row 2: {1, 0, 1}
+    assert sorted(g.indices[g.indptr[0] : g.indptr[1]].tolist()) == [1, 2]
+    np.testing.assert_array_equal(g.dst_per_edge, [0, 0, 1, 2, 2, 2])
+
+
+def test_reorder_matches_naive(small_rmat):
+    g = small_rmat
+    n = g.num_nodes
+    rng = np.random.default_rng(0)
+    rows = rng.permutation(n)
+    g2 = g.reorder(rows)
+    assert g2.num_edges == g.num_edges
+    # naive check per row (reference reorderCSR semantics, src/data.cu:4-29)
+    reverse = np.empty(n, dtype=np.int64)
+    reverse[rows] = np.arange(n)
+    for i in rng.integers(0, n, size=20):
+        old = rows[i]
+        want = reverse[g.indices[g.indptr[old] : g.indptr[old + 1]]]
+        got = g2.indices[g2.indptr[i] : g2.indptr[i + 1]]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_transpose_involution(small_uniform):
+    g = small_uniform
+    gt = g.transpose()
+    gtt = gt.transpose()
+    # same multiset of (dst, src) edges
+    def canon(gr):
+        return sorted(zip(gr.dst_per_edge.tolist(), gr.indices.tolist()))
+
+    assert canon(gtt) == canon(g)
+    assert gt.num_edges == g.num_edges
+
+
+def test_fixed_degree():
+    g = fixed_degree_graph(50, 16, seed=3)
+    assert g.num_edges == 800
+    assert (g.degrees == 16).all()
+
+
+def test_io_roundtrip(tmp_path, small_rmat):
+    save_graph(str(tmp_path), "toy", small_rmat)
+    g, rows = load_graph(str(tmp_path), "toy")
+    np.testing.assert_array_equal(g.indptr, small_rmat.indptr)
+    np.testing.assert_array_equal(g.indices, small_rmat.indices)
+    assert rows is None
+    # second load uses the npz cache
+    assert (tmp_path / "toy.graph.npz").exists()
+    g2, _ = load_graph(str(tmp_path), "toy")
+    np.testing.assert_array_equal(g2.indices, g.indices)
+
+
+def test_io_reorder(tmp_path, small_rmat):
+    save_graph(str(tmp_path), "toy", small_rmat)
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(small_rmat.num_nodes)
+    save_reorder(str(tmp_path), "toy", "_test", perm)
+    g, rows = load_graph(str(tmp_path), "toy", reorder_subfix="_test")
+    np.testing.assert_array_equal(rows, perm)
+    want = small_rmat.reorder(perm)
+    np.testing.assert_array_equal(g.indptr, want.indptr)
+    np.testing.assert_array_equal(g.indices, want.indices)
+
+
+def test_gcn_norm_val(small_uniform):
+    g = small_uniform
+    v = g.gcn_norm_val()
+    assert v.shape == (g.num_edges,)
+    assert (v > 0).all() and np.isfinite(v).all()
+
+
+@pytest.mark.parametrize("gen", [rmat_graph, uniform_graph])
+def test_generators_deterministic(gen):
+    g1 = gen(100, 500, seed=42)
+    g2 = gen(100, 500, seed=42)
+    np.testing.assert_array_equal(g1.indices, g2.indices)
+    np.testing.assert_array_equal(g1.indptr, g2.indptr)
