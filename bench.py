@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Headline benchmark: 3-layer GCN forward at reddit scale on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Matches the reference's flagship configuration (Figure7/our.py --model
+our_GCN on reddit.dgl): 3 layers 512->128->64->32, dense transform then
+scheduled aggregation then ReLU per layer, NG schedule (our.py:84).  The
+graph is a deterministic RMAT at reddit scale (232,965 v / 114,615,891 e,
+util.py:31/:133) since the artifact's data.zip is not fetchable here.
+
+Baseline: the authors' measured V100 time 0.058089 s/forward
+(draw_fig7.py:68) => 3*114.6M/0.0581 ~= 5.92e9 aggregated edges/s.
+
+Timing: forwards chained inside one jit (fori_loop) with a scalar fetch —
+dispatch through the axon tunnel costs ~27ms/call (PERF_NOTES.md), so
+per-call host timing would swamp the measurement.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REDDIT_N, REDDIT_M = 232_965, 114_615_891
+BASELINE_EDGES_PER_S = 3 * REDDIT_M / 0.058089  # V100, draw_fig7.py:68
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_inputs(n, m, block_size, cache_dir):
+    from gnn_computing_tpu.graph.synthetic import rmat_graph
+    from gnn_computing_tpu.schedule import neighbor_grouping_plan
+
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"rmat_n{n}_m{m}_b{block_size}"
+    paths = {
+        k: os.path.join(cache_dir, f"{tag}.{k}.npy")
+        for k in ("src", "val", "dst", "count")
+    }
+    meta_path = os.path.join(cache_dir, f"{tag}.meta.json")
+    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(
+        meta_path
+    ):
+        log(f"loading cached plan {tag}")
+        arrs = {k: np.load(p) for k, p in paths.items()}
+        meta = json.load(open(meta_path))
+        from gnn_computing_tpu.schedule.plan import AggregationPlan
+
+        plan = AggregationPlan(
+            src=arrs["src"],
+            count=arrs["count"],
+            dst=arrs["dst"],
+            val=arrs["val"],
+            edge_perm=None,
+            partition_starts=(0, int(meta["num_tasks"])),
+            **{
+                k: meta[k]
+                for k in (
+                    "num_nodes",
+                    "n_src",
+                    "block_size",
+                    "num_tasks",
+                    "num_edges",
+                    "sorted_by_dst",
+                )
+            },
+        )
+        return plan
+
+    t0 = time.time()
+    g = rmat_graph(n, m, seed=123, with_val=False)
+    log(f"graph gen: {time.time() - t0:.1f}s  {g}")
+    t0 = time.time()
+    plan = neighbor_grouping_plan(g, block_size)
+    log(f"plan: {time.time() - t0:.1f}s  {plan.stats()}")
+    for k, p in paths.items():
+        np.save(p, getattr(plan, k))
+    json.dump(
+        {
+            k: getattr(plan, k)
+            for k in (
+                "num_nodes",
+                "n_src",
+                "block_size",
+                "num_tasks",
+                "num_edges",
+                "sorted_by_dst",
+            )
+        },
+        open(meta_path, "w"),
+    )
+    return plan
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small-graph smoke")
+    ap.add_argument("--block-size", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gnn_computing_tpu.graph.synthetic import normal_features
+    from gnn_computing_tpu.models import init_gcn_params, BENCH_DIMS
+    from gnn_computing_tpu.models.gcn import gcn_forward_bench
+
+    n, m = (1 << 16, 1 << 22) if args.quick else (REDDIT_N, REDDIT_M)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_cache")
+    plan = build_inputs(n, m, args.block_size, cache).device_put()
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params = [
+        w.astype(dtype) for w in init_gcn_params(jax.random.key(0), BENCH_DIMS)
+    ]
+    h = jnp.asarray(
+        normal_features(n, BENCH_DIMS[0], seed=123) * 0.1
+    ).astype(dtype)
+
+    iters = args.iters
+
+    @jax.jit
+    def chained(params, h):
+        def body(i, acc):
+            out = gcn_forward_bench(plan, params, h)
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
+
+        return lax.fori_loop(0, iters, body, 0.0)
+
+    log("compiling + warmup...")
+    t0 = time.time()
+    float(chained(params, h))
+    log(f"first call: {time.time() - t0:.1f}s")
+
+    # measured overhead calibration
+    @jax.jit
+    def tiny(x):
+        return jnp.sum(x) * 1.000001
+
+    xt = jnp.ones((8, 128))
+    float(tiny(xt))
+    t0 = time.time()
+    for _ in range(5):
+        float(tiny(xt))
+    overhead = (time.time() - t0) / 5
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(chained(params, h))
+        dt = (time.time() - t0 - overhead) / iters
+        best = min(best, dt)
+    log(f"forward: {best * 1e3:.2f} ms")
+
+    edges_per_s = 3 * m / best
+    print(
+        json.dumps(
+            {
+                "metric": "gcn3_reddit_scale_edges_per_s_per_chip",
+                "value": edges_per_s,
+                "unit": "edges/s",
+                "vs_baseline": edges_per_s / BASELINE_EDGES_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Aggregator: the user-facing handle bundling a scheduled graph.
+
+The reference's central object (class Aggregator, aggregator.h:25-151, with
+subclasses Aggregator_GCN/GAT/SDDMM/MLP) owns the CSR, its scheduled triple
+and edge values, and exposes ``schedule()`` / ``run()`` methods.  The
+TPU-native equivalent is an immutable pytree bundling the forward plan, an
+optional transposed plan (for fast backward aggregation — a capability the
+reference only had hand-written for GAT, aggr_gat.h:222-294), and the edge
+correspondence between them.  It passes transparently through jax.jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_computing_tpu.graph.csr import CSRGraph
+from gnn_computing_tpu.schedule import Schedule, make_plan
+from gnn_computing_tpu.schedule.plan import AggregationPlan
+from gnn_computing_tpu.ops import spmm as spmm_mod
+from gnn_computing_tpu.ops.spmm import (
+    spmm,
+    spmm_bidir,
+    slots_from_edge_values,
+)
+from gnn_computing_tpu.ops import gat as gat_mod
+from gnn_computing_tpu.ops.sddmm import sddmm as sddmm_op
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["plan", "plan_t", "edge_map_t"],
+    meta_fields=["num_nodes", "n_src", "num_edges"],
+)
+@dataclasses.dataclass
+class Aggregator:
+    plan: AggregationPlan
+    plan_t: Optional[AggregationPlan]  # transposed-graph plan (backward)
+    # transposed edge i <- original edge edge_map_t[i]
+    edge_map_t: Optional[jnp.ndarray]
+    num_nodes: int
+    n_src: int
+    num_edges: int
+
+    # ------------------------------------------------------------- building
+    @classmethod
+    def schedule(
+        cls,
+        g: CSRGraph,
+        schedule: Schedule = Schedule.neighbor_grouping,
+        with_transpose: bool = True,
+        device_put: bool = True,
+        **kw,
+    ) -> "Aggregator":
+        """Build plans for a graph — the analog of ``Aggregator::schedule``
+        (aggregator.h:67-122) plus optional transposed-graph scheduling."""
+        plan = make_plan(g, schedule, **kw)
+        plan_t = None
+        edge_map = None
+        if with_transpose:
+            gt, edge_map = g.transpose_with_map()
+            plan_t = make_plan(gt, schedule, **kw)
+            edge_map = edge_map.astype(np.int32)
+        agg = cls(
+            plan=plan,
+            plan_t=plan_t,
+            edge_map_t=edge_map,
+            num_nodes=g.num_nodes,
+            n_src=g.n_src,
+            num_edges=g.num_edges,
+        )
+        return agg.device_put() if device_put else agg
+
+    def device_put(self) -> "Aggregator":
+        return dataclasses.replace(
+            self,
+            plan=self.plan.device_put(),
+            plan_t=None if self.plan_t is None else self.plan_t.device_put(),
+            edge_map_t=(
+                None if self.edge_map_t is None else jnp.asarray(self.edge_map_t)
+            ),
+        )
+
+    # ------------------------------------------------------------ edge vals
+    def slot_values(self, edge_val: jnp.ndarray) -> jnp.ndarray:
+        """Per-edge values (original CSR order) -> forward slot layout."""
+        return slots_from_edge_values(self.plan, edge_val)
+
+    def transposed_val(self, edge_val: jnp.ndarray) -> jnp.ndarray:
+        """Per-edge values (original CSR order) -> transposed slot layout."""
+        assert self.plan_t is not None and self.edge_map_t is not None
+        return slots_from_edge_values(
+            self.plan_t, jnp.take(edge_val, self.edge_map_t)
+        )
+
+    # ------------------------------------------------------------------ ops
+    def run(
+        self, h: jnp.ndarray, val=None, val_t=None, strategy: str = "auto"
+    ) -> jnp.ndarray:
+        """Weighted SpMM aggregation (reference Aggregator_GCN::run,
+        aggr_gcn.h:411-460).  With a transposed plan available, backward
+        uses fast transposed aggregation; ``val``/``val_t`` are slot-layout
+        edge values (val_t required iff val given and transpose in use)."""
+        if self.plan_t is not None:
+            if val is None and self.plan_t.val is not None:
+                # plan values were built from the same graph val — already
+                # consistent between the two layouts.
+                return spmm_bidir(self.plan, self.plan_t, h, None, None)
+            if val is not None and val_t is not None:
+                return spmm_bidir(self.plan, self.plan_t, h, val, val_t)
+        return spmm(self.plan, h, val=val, strategy=strategy)
+
+    def run_transpose(self, g_out: jnp.ndarray, val_t=None) -> jnp.ndarray:
+        """Aggregate over the reversed graph (dH-style products)."""
+        assert self.plan_t is not None
+        return spmm(self.plan_t, g_out, val=val_t)
+
+    def run_gat(
+        self,
+        h: jnp.ndarray,
+        att: jnp.ndarray,
+        relu_slope: float = gat_mod.DEFAULT_SLOPE,
+        stabilize: bool = False,
+    ) -> jnp.ndarray:
+        """Fused GAT attention aggregation (Aggregator_GAT::run,
+        aggr_gat.h:317-354)."""
+        return gat_mod.gat_aggregate(
+            self.plan, h, att, relu_slope=relu_slope, stabilize=stabilize
+        )
+
+    def run_sddmm(self, a, b, output: str = "edges"):
+        return sddmm_op(self.plan, a, b, output=output)

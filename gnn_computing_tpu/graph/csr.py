@@ -149,14 +149,24 @@ class CSRGraph:
 
     def transpose(self) -> "CSRGraph":
         """Reverse every edge (dst <-> src). Used for backward aggregation."""
+        return self.transpose_with_map()[0]
+
+    def transpose_with_map(self) -> tuple:
+        """Transpose plus the edge correspondence: returns (gt, edge_map)
+        where transposed edge ``i`` is original edge ``edge_map[i]``.  Needed
+        to carry per-edge values (e.g. attention scores) into backward-pass
+        aggregation over the reversed graph."""
         assert self.n_src is not None
-        return CSRGraph.from_edges(
-            dst=self.indices.astype(np.int64),
+        dst = self.indices.astype(np.int64)
+        order = np.argsort(dst, kind="stable")
+        gt = CSRGraph.from_edges(
+            dst=dst,
             src=self.dst_per_edge,
             num_nodes=self.n_src,
             val=self.val,
             n_src=self.num_nodes,
         )
+        return gt, order.astype(np.int64)
 
     def with_val(self, val: np.ndarray) -> "CSRGraph":
         """Return a copy carrying per-edge values (reference ``updateval``,

@@ -47,21 +47,74 @@ def rmat_edges(
     """
     rng = np.random.default_rng(seed)
     d = 1.0 - a - b - c
-    p = np.array([a, b, c, d])
+    # quadrant thresholds: 0->a, 1->b, 2->c, 3->d
+    t1, t2, t3 = a, a + b, a + b + c
+    weights = (1 << np.arange(n_log2 - 1, -1, -1)).astype(np.int64)
     dsts = []
     srcs = []
     remaining = num_edges
     while remaining > 0:
         k = min(batch, remaining)
-        # quadrant choice per (edge, bit): 0..3
-        q = rng.choice(4, size=(k, n_log2), p=p)
-        dst_bits = (q >> 1) & 1  # row bit
-        src_bits = q & 1  # col bit
-        weights = (1 << np.arange(n_log2 - 1, -1, -1)).astype(np.int64)
+        # quadrant per (edge, bit) via 3 threshold compares (fast path;
+        # rng.choice with p is ~50x slower at this volume)
+        r = rng.random((k, n_log2), dtype=np.float32)
+        q = (
+            (r >= t1).astype(np.int8)
+            + (r >= t2).astype(np.int8)
+            + (r >= t3).astype(np.int8)
+        )
+        dst_bits = (q >> 1).astype(np.int64)
+        src_bits = (q & 1).astype(np.int64)
         dsts.append(dst_bits @ weights)
         srcs.append(src_bits @ weights)
         remaining -= k
     return np.concatenate(dsts), np.concatenate(srcs)
+
+
+def rmat_edges_device(
+    n_log2: int,
+    num_edges: int,
+    seed: int = 123,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    batch: int = 1 << 24,
+) -> tuple[np.ndarray, np.ndarray]:
+    """RMAT edges generated on the accelerator (the host here has a single
+    CPU core; 2e9 quadrant draws take minutes in numpy, milliseconds on
+    TPU).  Same distribution as rmat_edges, different PRNG stream."""
+    import jax
+    import jax.numpy as jnp
+
+    t1, t2, t3 = a, a + b, a + b + c
+    weights = jnp.asarray(
+        (1 << np.arange(n_log2 - 1, -1, -1)).astype(np.int32)
+    )
+
+    @jax.jit
+    def gen(key):
+        r = jax.random.uniform(key, (batch, n_log2))
+        q = (
+            (r >= t1).astype(jnp.int32)
+            + (r >= t2).astype(jnp.int32)
+            + (r >= t3).astype(jnp.int32)
+        )
+        dst = jnp.sum((q >> 1) * weights, axis=1, dtype=jnp.int32)
+        src = jnp.sum((q & 1) * weights, axis=1, dtype=jnp.int32)
+        return dst, src
+
+    key = jax.random.key(seed)
+    dsts, srcs = [], []
+    remaining = num_edges
+    i = 0
+    while remaining > 0:
+        d, s = gen(jax.random.fold_in(key, i))
+        k = min(batch, remaining)
+        dsts.append(np.asarray(d[:k]))
+        srcs.append(np.asarray(s[:k]))
+        remaining -= k
+        i += 1
+    return np.concatenate(dsts).astype(np.int64), np.concatenate(srcs)
 
 
 def rmat_graph(
@@ -69,14 +122,27 @@ def rmat_graph(
     num_edges: int,
     seed: int = 123,
     with_val: bool = True,
+    device: str = "auto",
 ) -> CSRGraph:
     """Power-law community-structured graph at the given scale.
 
     Vertices are generated over the next power of two then folded down with a
-    modulo so arbitrary ``num_nodes`` work.
+    modulo so arbitrary ``num_nodes`` work.  device='auto' uses the
+    accelerator for generation when one is available.
     """
     n_log2 = max(1, int(np.ceil(np.log2(num_nodes))))
-    dst, src = rmat_edges(n_log2, num_edges, seed=seed)
+    use_dev = device == "device"
+    if device == "auto":
+        try:
+            import jax
+
+            use_dev = jax.default_backend() != "cpu"
+        except Exception:
+            use_dev = False
+    if use_dev:
+        dst, src = rmat_edges_device(n_log2, num_edges, seed=seed)
+    else:
+        dst, src = rmat_edges(n_log2, num_edges, seed=seed)
     dst = dst % num_nodes
     src = (src % num_nodes).astype(np.int32)
     val = None

@@ -77,10 +77,9 @@ def gat_aggregate(
         z = z - row_max[dst][:, None]
     score = jnp.where(mask, jnp.exp(z), 0.0)  # [nt, B]
 
-    gathered = jnp.take(h, jnp.asarray(plan.src), axis=0)  # [nt, B, f]
-    num_task = jnp.einsum(
-        "tbf,tb->tf", gathered, score.astype(gathered.dtype)
-    )
+    from gnn_computing_tpu.ops.spmm import weighted_task_sums
+
+    num_task = weighted_task_sums(plan, h, score)  # fused gather+reduce
     denom_task = jnp.sum(score, axis=1)
     num = jax.ops.segment_sum(
         num_task, dst, num_segments=plan.num_nodes,

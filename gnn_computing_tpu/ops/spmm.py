@@ -88,16 +88,31 @@ def _resolve_val(plan: AggregationPlan, val) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------- XLA strategies
+def weighted_task_sums(
+    plan: AggregationPlan, h: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """[nt, f] per-task weighted sums: sum_b v[t,b] * h[src[t,b]].
+
+    Written in the exact form XLA fuses end-to-end on TPU (measured: 1.06
+    Ge/s vs 0.28 for the einsum form, see PERF_NOTES.md): a FLAT row gather
+    multiplied elementwise, reshaped, and reduced — no [nt, B, f] HBM
+    intermediate, no edge-granular scatter.
+    """
+    nt, b = plan.src.shape
+    f = h.shape[-1]
+    src_flat = jnp.asarray(plan.src).reshape(-1)
+    v_flat = v.reshape(-1).astype(h.dtype)
+    msg = jnp.take(h, src_flat, axis=0) * v_flat[:, None]
+    return msg.reshape(nt, b, f).sum(axis=1)
+
+
 def spmm_xla(
     plan: AggregationPlan, h: jnp.ndarray, val=None
 ) -> jnp.ndarray:
-    """Gather -> per-task weighted reduce -> segment-sum."""
+    """Fused gather -> per-task weighted reduce -> one task-level segment-sum
+    (the deterministic TPU replacement for atomicAdd, aggr_gcn.h:78-114)."""
     v = _resolve_val(plan, val)
-    src = jnp.asarray(plan.src)
-    gathered = jnp.take(h, src, axis=0)  # [nt, B, f]
-    task = jnp.einsum(
-        "tbf,tb->tf", gathered, v.astype(gathered.dtype)
-    )
+    task = weighted_task_sums(plan, h, v)
     return jax.ops.segment_sum(
         task,
         jnp.asarray(plan.dst),
@@ -126,11 +141,53 @@ def sddmm_slots_xla(
     plan: AggregationPlan, a: jnp.ndarray, b: jnp.ndarray
 ) -> jnp.ndarray:
     """Per-slot dot products: out[t, s] = <a[src[t, s]], b[dst[t]]>, zero in
-    pad slots.  Semantics of reference aggr_sddmm (aggr_sddmm.h:5-43)."""
-    ga = jnp.take(a, jnp.asarray(plan.src), axis=0)  # [nt, B, f]
+    pad slots.  Semantics of reference aggr_sddmm (aggr_sddmm.h:5-43).
+    Flat-gather form for XLA fusion (PERF_NOTES.md)."""
+    nt, bsz = plan.src.shape
+    f = a.shape[-1]
+    ga = jnp.take(a, jnp.asarray(plan.src).reshape(-1), axis=0)  # [nt*B, f]
     gb = jnp.take(b, jnp.asarray(plan.dst), axis=0)  # [nt, f]
-    out = jnp.einsum("tbf,tf->tb", ga, gb)
+    out = (ga.reshape(nt, bsz, f) * gb[:, None, :]).sum(axis=-1)
     return jnp.where(plan.slot_mask(), out, 0.0)
+
+
+# ------------------------------------------- transposed-plan backward (fast)
+@jax.custom_vjp
+def spmm_bidir(
+    plan: AggregationPlan,
+    plan_t: AggregationPlan,
+    h: jnp.ndarray,
+    val: Optional[jnp.ndarray],
+    val_t: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """SpMM whose backward aggregates over a TRANSPOSED plan.
+
+    The autodiff transpose of a gather is an edge-granular scatter (slow on
+    TPU, PERF_NOTES.md); with the transposed graph scheduled like the forward
+    one, dH = A^T @ dOut becomes another fused fast SpMM — the same insight
+    as the reference's hand-written backward (aggr_gat.h:222-294).
+
+    ``val_t`` must hold the same edge values as ``val`` in the transposed
+    plan's slot layout (see Aggregator.transposed_val); it is treated as
+    non-differentiable — gradients flow through ``val``.
+    """
+    return spmm_xla(plan, h, val)
+
+
+def _spmm_bidir_fwd(plan, plan_t, h, val, val_t):
+    return spmm_xla(plan, h, val), (plan, plan_t, h, val, val_t)
+
+
+def _spmm_bidir_bwd(res, ct):
+    plan, plan_t, h, val, val_t = res
+    dh = spmm_xla(plan_t, ct, val_t)
+    dval = None
+    if val is not None:
+        dval = sddmm_slots_xla(plan, h, ct).astype(val.dtype)
+    return (None, None, dh, dval, None)
+
+
+spmm_bidir.defvjp(_spmm_bidir_fwd, _spmm_bidir_bwd)
 
 
 # ------------------------------------------------------- public op (dispatch)
