@@ -130,8 +130,11 @@ def main():
 
     iters = args.iters
 
+    # NOTE: the plan must be a jit ARGUMENT — closing over it would bake the
+    # multi-hundred-MB task arrays into the HLO as constants (and overflow
+    # the remote-compile payload).
     @jax.jit
-    def chained(params, h):
+    def chained(plan, params, h):
         def body(i, acc):
             out = gcn_forward_bench(plan, params, h)
             return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
@@ -140,7 +143,7 @@ def main():
 
     log("compiling + warmup...")
     t0 = time.time()
-    float(chained(params, h))
+    float(chained(plan, params, h))
     log(f"first call: {time.time() - t0:.1f}s")
 
     # measured overhead calibration
@@ -158,7 +161,7 @@ def main():
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        float(chained(params, h))
+        float(chained(plan, params, h))
         dt = (time.time() - t0 - overhead) / iters
         best = min(best, dt)
     log(f"forward: {best * 1e3:.2f} ms")

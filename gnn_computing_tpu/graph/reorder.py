@@ -1,0 +1,156 @@
+"""Vertex reordering for locality (the reference's offline preprocessing).
+
+The reference improves gather locality with an offline MinHash-LSH
+clustering that groups vertices with similar neighbor sets
+(script/cluster2.py) and applies the permutation at load time
+(src/data.cu:96-133).  On TPU, reordering serves the tile-densification
+path (schedule/tiles.py): a permutation that concentrates edges into few
+[TS x TS] adjacency blocks moves more of the aggregation onto the MXU.
+
+Two reorders are provided:
+  * degree_sort   — hubs first; cheap, very effective on power-law graphs
+                    (hub columns become dense tile stripes).
+  * cluster_reorder — MinHash-LSH + union-find agglomeration, semantics of
+                    the reference's cluster2.py (64 permutations, Jaccard
+                    threshold, cluster size cap), hand-rolled (no
+                    datasketch dependency).
+
+Permutations use the reference convention: ``perm[new_id] = old_id``
+(src/data.cu:4-29); apply with CSRGraph.reorder(perm).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from gnn_computing_tpu.graph.csr import CSRGraph
+
+
+def degree_sort(g: CSRGraph, by: str = "total") -> np.ndarray:
+    """Permutation (new -> old) sorting vertices by descending degree."""
+    in_deg = g.degrees.astype(np.int64)
+    out_deg = np.bincount(g.indices, minlength=g.n_src).astype(np.int64)
+    if by == "in":
+        d = in_deg
+    elif by == "out":
+        d = out_deg
+    else:
+        d = in_deg + out_deg[: g.num_nodes]
+    return np.argsort(-d, kind="stable").astype(np.int64)
+
+
+# ----------------------------------------------------------- MinHash-LSH
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_signatures(
+    g: CSRGraph, num_perm: int, seed: int
+) -> np.ndarray:
+    """[n, num_perm] MinHash signatures of each vertex's neighbor set
+    (reference cluster2.py:29-41, vectorized; rows with no neighbors get
+    sentinel max)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    n = g.num_nodes
+    idx = g.indices.astype(np.int64)
+    dst = g.dst_per_edge.astype(np.int64)
+    sig = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+    # process permutations in blocks to bound the [m, k] hash buffer
+    step = max(1, min(num_perm, (1 << 27) // max(len(idx), 1)))
+    for s in range(0, num_perm, step):
+        hv = (idx[:, None] * a[None, s : s + step] + b[None, s : s + step]) % _MERSENNE
+        np.minimum.at(sig[:, s : s + step], dst, hv)
+    return sig
+
+
+def cluster_reorder(
+    g: CSRGraph,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.2,
+    max_cluster: int = 64,
+    max_pairs_per_vertex: int = 8,
+    seed: int = 123,
+) -> np.ndarray:
+    """LSH-clustered permutation (new -> old).
+
+    Reference pipeline (script/cluster2.py): MinHash over neighbor sets ->
+    LSH candidate pairs -> exact-Jaccard-ranked agglomerative union-find
+    merging with a cluster-size cap -> vertices emitted cluster-by-cluster.
+    This rendition banding-hashes the signatures (bands x rows-per-band LSH),
+    scores candidate pairs by signature agreement (an unbiased Jaccard
+    estimate), merges best-first under the same size cap, and emits clusters
+    in first-seen order.
+    """
+    n = g.num_nodes
+    if n == 0:
+        return np.zeros(0, np.int64)
+    sig = _minhash_signatures(g, num_perm, seed)
+    rows_per_band = max(num_perm // bands, 1)
+
+    # candidate pairs from banding
+    cands = []
+    for b in range(bands):
+        band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        if band.shape[1] == 0:
+            continue
+        # hash each band row to a bucket; vertices sharing a bucket pair up
+        key = np.ascontiguousarray(band).view(
+            [("", band.dtype)] * band.shape[1]
+        ).ravel()
+        order = np.argsort(key, kind="stable")
+        sorted_key = key[order]
+        same = sorted_key[1:] == sorted_key[:-1]
+        # consecutive-in-bucket pairs (linear, not quadratic, per bucket —
+        # enough to chain a bucket into one cluster)
+        i = order[:-1][same]
+        j = order[1:][same]
+        if len(i):
+            cands.append(np.stack([i, j], axis=1))
+    if not cands:
+        return np.arange(n, dtype=np.int64)
+    pairs = np.unique(
+        np.sort(np.concatenate(cands), axis=1), axis=0
+    )
+    # estimated Jaccard = fraction of agreeing signature slots
+    est = (sig[pairs[:, 0]] == sig[pairs[:, 1]]).mean(axis=1)
+    keep = est >= threshold
+    pairs, est = pairs[keep], est[keep]
+    order = np.argsort(-est, kind="stable")
+    pairs = pairs[order]
+
+    # union-find with size cap (cluster2.py:108-153)
+    parent = np.arange(n, dtype=np.int64)
+    size = np.ones(n, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru == rv or size[ru] + size[rv] > max_cluster:
+            continue
+        parent[rv] = ru
+        size[ru] += size[rv]
+
+    root = np.array([find(x) for x in range(n)], dtype=np.int64)
+    # emit clusters in order of first appearance (cluster2.py:156-172):
+    # stable sort vertices by (first occurrence of their root, vertex id)
+    first = {}
+    rank = np.empty(n, dtype=np.int64)
+    next_rank = 0
+    for v in range(n):
+        r = root[v]
+        if r not in first:
+            first[r] = next_rank
+            next_rank += 1
+        rank[v] = first[r]
+    return np.lexsort((np.arange(n), rank)).astype(np.int64)

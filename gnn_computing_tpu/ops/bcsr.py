@@ -1,0 +1,139 @@
+"""Block-sparse (BCSR) aggregation on the MXU + the hybrid dense/sparse op.
+
+``bcsr_spmm``: out = A_dense @ H where A_dense is a TilePlan — each dense
+adjacency tile is one [TS, TS] @ [TS, f] matmul on the systolic array.  This
+is the TPU-native replacement for the reference's locality-scheduled gather
+kernels (graph_schedule.h:17-89 + aggr_gcn.h): instead of keeping gathered
+rows cache-resident, dense regions of A are lifted onto the MXU where each
+H tile read serves TS destination rows.
+
+``hybrid_spmm``: dense tiles + residual gather plan, with a custom VJP that
+aggregates the cotangent over pre-built transposed plans (fast backward —
+the same trick as ops.spmm.spmm_bidir).
+
+Strategies:
+  * xla    — lax.scan over tile chunks: gather H tiles, batched einsum,
+             tile-granular scatter-add.  Portable (CPU tests) and already
+             MXU-bound on TPU for large chunks.
+  * pallas — ops.pallas_bcsr scalar-prefetch kernel: no HBM intermediates,
+             output tiles accumulated in VMEM across same-row runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gnn_computing_tpu.schedule.plan import AggregationPlan
+from gnn_computing_tpu.schedule.tiles import TilePlan
+from gnn_computing_tpu.ops.spmm import spmm_xla
+
+
+def _pad_rows(h: jnp.ndarray, n_padded: int) -> jnp.ndarray:
+    if h.shape[0] == n_padded:
+        return h
+    return jnp.pad(h, ((0, n_padded - h.shape[0]), (0, 0)))
+
+
+def bcsr_spmm_xla(
+    tp: TilePlan, h: jnp.ndarray, chunk: int = 512
+) -> jnp.ndarray:
+    """Tile-chunked scan: bounds the [chunk, TS, f] HBM intermediates."""
+    ts = tp.tile_size
+    f = h.shape[-1]
+    nct, nrt = tp.num_col_tiles, tp.num_row_tiles
+    h_t = _pad_rows(h, nct * ts).reshape(nct, ts, f)
+
+    t = tp.a.shape[0]
+    chunk = min(chunk, max(t, 1))
+    t_pad = -(-t // chunk) * chunk
+    a = jnp.asarray(tp.a)
+    col = jnp.asarray(tp.tile_col)
+    row = jnp.asarray(tp.tile_row)
+    if t_pad != t:
+        a = jnp.pad(a, ((0, t_pad - t), (0, 0), (0, 0)))
+        col = jnp.pad(col, (0, t_pad - t))
+        row = jnp.pad(row, (0, t_pad - t))  # zero tiles -> no-op adds to row 0
+
+    a = a.reshape(t_pad // chunk, chunk, ts, ts)
+    col = col.reshape(t_pad // chunk, chunk)
+    row = row.reshape(t_pad // chunk, chunk)
+
+    def body(out_t, c):
+        a_c, col_c, row_c = c
+        g = jnp.take(h_t, col_c, axis=0)  # [chunk, TS, f]
+        p = jnp.einsum(
+            "tij,tjf->tif",
+            a_c.astype(h.dtype),
+            g,
+            preferred_element_type=jnp.float32,
+        )
+        return out_t.at[row_c].add(p.astype(out_t.dtype)), None
+
+    out_t = jnp.zeros((nrt, ts, f), h.dtype)
+    out_t, _ = lax.scan(body, out_t, (a, col, row))
+    return out_t.reshape(nrt * ts, f)[: tp.num_nodes]
+
+
+def bcsr_spmm(
+    tp: TilePlan, h: jnp.ndarray, strategy: str = "auto"
+) -> jnp.ndarray:
+    if strategy in ("auto", "pallas"):
+        from gnn_computing_tpu.ops import pallas_bcsr
+
+        if (strategy == "pallas" and pallas_bcsr.supported(tp, h)) or (
+            strategy == "auto" and pallas_bcsr.preferred(tp, h)
+        ):
+            return pallas_bcsr.bcsr_spmm_pallas(tp, h)
+    return bcsr_spmm_xla(tp, h)
+
+
+# ------------------------------------------------------------------- hybrid
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def hybrid_spmm(
+    tp: TilePlan,
+    tp_t: Optional[TilePlan],
+    plan: Optional[AggregationPlan],
+    plan_t: Optional[AggregationPlan],
+    h: jnp.ndarray,
+    strategy: str = "auto",
+) -> jnp.ndarray:
+    """out = (A_dense + A_residual) @ h with transposed-plan backward.
+
+    Edge values live inside the plans (non-differentiable here — the GCN
+    normalization case; differentiable edge values go through ops.spmm /
+    the masked GAT path).
+    """
+    out = bcsr_spmm(tp, h, strategy)
+    if plan is not None:
+        out = out + spmm_xla(plan, h)
+    return out
+
+
+def _hybrid_fwd(tp, tp_t, plan, plan_t, h, strategy):
+    return hybrid_spmm(tp, tp_t, plan, plan_t, h, strategy), (
+        tp,
+        tp_t,
+        plan,
+        plan_t,
+    )
+
+
+def _hybrid_bwd(strategy, res, ct):
+    tp, tp_t, plan, plan_t = res
+    assert tp_t is not None, (
+        "hybrid_spmm backward needs a transposed tile plan "
+        "(build with with_transpose=True)"
+    )
+    dh = bcsr_spmm(tp_t, ct, strategy)
+    if plan is not None:
+        assert plan_t is not None
+        dh = dh + spmm_xla(plan_t, ct)
+    return (None, None, None, None, dh)
+
+
+hybrid_spmm.defvjp(_hybrid_fwd, _hybrid_bwd)

@@ -1,0 +1,188 @@
+"""SAGE-LSTM ops/model + sampling + per-edge MLP + fused-NN tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_computing_tpu.graph.synthetic import rmat_graph
+from gnn_computing_tpu.graph.sample import (
+    full_graph,
+    sample_vertex,
+    sample_vertex_sample_neighbor,
+    presample_fixed_neighbors,
+    fixed_neighbors_to_graph,
+)
+from gnn_computing_tpu.ops.lstm import (
+    init_lstm_params,
+    lstm_aggregate,
+)
+from gnn_computing_tpu.ops.edge_mlp import edge_mlp
+from gnn_computing_tpu.ops.fused_nn import spmm_nn
+from gnn_computing_tpu.ops.reference import edge_mlp_dense
+from gnn_computing_tpu.ops.spmm import spmm_xla
+from gnn_computing_tpu.models.sage_lstm import (
+    init_sage_lstm_params,
+    sage_lstm_layer,
+)
+from gnn_computing_tpu.schedule import neighbor_grouping_plan
+
+
+def _nbr(n=64, k=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, n, size=(n, k)).astype(np.int32)
+
+
+def _lstm_numpy(params, x, nbr):
+    """Step-by-step numpy oracle of the gate math
+    (Figure7/main.cu:45-84 layout: i,f,o,c~ slabs)."""
+    wx, wh, b = map(np.asarray, params)
+    n, k = nbr.shape
+    f = wh.shape[0]
+    h = np.zeros((n, f))
+    c = np.zeros((n, f))
+    gx_all = np.asarray(x) @ wx
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    for t in range(k):
+        z = gx_all[nbr[:, t]] + h @ wh + b
+        i = sig(z[:, 0 * f : 1 * f])
+        fg = sig(z[:, 1 * f : 2 * f])
+        o = sig(z[:, 2 * f : 3 * f])
+        ct = np.tanh(z[:, 3 * f : 4 * f])
+        c = fg * c + i * ct
+        h = o * np.tanh(c)
+    return h
+
+
+def test_lstm_matches_numpy_oracle():
+    n, k, fin, f = 64, 8, 12, 16
+    params = init_lstm_params(jax.random.key(0), fin, f)
+    x = np.random.default_rng(1).normal(size=(n, fin)).astype(np.float32)
+    nbr = _nbr(n, k)
+    want = _lstm_numpy(params, x, nbr)
+    got = lstm_aggregate(params, jnp.asarray(x), jnp.asarray(nbr))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("strategy", ["sparse_fetch", "materialize"])
+def test_lstm_strategies_agree(strategy):
+    """The three Fig7/11 strategies compute identical math
+    (Figure7/main.cu:192-329: same buffers, different data movement)."""
+    n, k, fin, f = 48, 6, 8, 8
+    params = init_lstm_params(jax.random.key(2), fin, f)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(n, fin)).astype(np.float32)
+    )
+    nbr = jnp.asarray(_nbr(n, k, seed=4))
+    base = lstm_aggregate(params, x, nbr, strategy="redundancy_bypass")
+    other = lstm_aggregate(params, x, nbr, strategy=strategy)
+    np.testing.assert_allclose(base, other, rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_grad_finite():
+    n, k, fin, f = 32, 4, 8, 8
+    params = init_lstm_params(jax.random.key(5), fin, f)
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(size=(n, fin)).astype(np.float32)
+    )
+    nbr = jnp.asarray(_nbr(n, k, seed=7))
+
+    def loss(p):
+        return jnp.sum(lstm_aggregate(p, x, nbr) ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sage_lstm_layer_shapes():
+    n, k, fin, f, fout = 40, 5, 8, 16, 4
+    params = init_sage_lstm_params(jax.random.key(8), fin, f, fout)
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(n, fin)).astype(np.float32)
+    )
+    out = sage_lstm_layer(params, x, jnp.asarray(_nbr(n, k, seed=10)))
+    assert out.shape == (n, fout)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------- sampling
+def test_full_graph_identity():
+    g = rmat_graph(128, 512, seed=1)
+    sub = full_graph(g)
+    assert sub.num_v == g.num_nodes
+    assert sub.num_e == g.num_edges
+
+
+def test_sample_vertex_khop_closure():
+    g = rmat_graph(256, 2048, seed=2)
+    seeds = np.array([0, 5, 9])
+    sub = sample_vertex(g, seeds, hops=2)
+    # seeds present
+    assert set(seeds) <= set(sub.vertices.tolist())
+    # every subgraph edge maps to an original edge
+    orig = set(
+        zip(g.dst_per_edge.tolist(), g.indices.tolist())
+    )
+    sg = sub.graph
+    for new_dst in range(sg.num_nodes):
+        for p in range(sg.indptr[new_dst], sg.indptr[new_dst + 1]):
+            new_src = sg.indices[p]
+            assert (
+                int(sub.vertices[new_dst]),
+                int(sub.vertices[new_src]),
+            ) in orig
+
+
+def test_sample_neighbor_cap():
+    g = rmat_graph(256, 4096, seed=3)
+    sub = sample_vertex_sample_neighbor(g, np.arange(20), hops=2, cap=4)
+    assert sub.graph.max_degree() <= 4
+
+
+def test_presample_fixed_neighbors_valid():
+    g = rmat_graph(200, 1600, seed=4)
+    k = 16
+    nbr = presample_fixed_neighbors(g, k=k, seed=5)
+    assert nbr.shape == (g.num_nodes, k)
+    deg = g.degrees
+    for v in range(g.num_nodes):
+        row = set(g.indices[g.indptr[v] : g.indptr[v + 1]].tolist())
+        if deg[v] == 0:
+            assert (nbr[v] == v).all()
+        else:
+            assert set(nbr[v].tolist()) <= row
+        if deg[v] >= k:
+            # without replacement over edge slots: each vertex appears at
+            # most as often as it appears in the row (multi-edges allowed)
+            vals, cnt = np.unique(nbr[v], return_counts=True)
+            row_list = g.indices[g.indptr[v] : g.indptr[v + 1]]
+            for val, c in zip(vals, cnt):
+                assert c <= (row_list == val).sum()
+    g16 = fixed_neighbors_to_graph(nbr)
+    assert g16.num_edges == g.num_nodes * k
+    assert g16.max_degree() == k
+
+
+# ----------------------------------------------------- edge MLP / fused NN
+def test_edge_mlp_matches_dense():
+    g = rmat_graph(128, 1024, seed=6)
+    plan = neighbor_grouping_plan(g, 8)
+    f, fout = 16, 12
+    rng = np.random.default_rng(7)
+    h = rng.normal(size=(g.num_nodes, f)).astype(np.float32)
+    w = rng.normal(size=(f, fout)).astype(np.float32)
+    want = edge_mlp_dense(g, h, w)
+    got = edge_mlp(plan, jnp.asarray(h), jnp.asarray(w))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_nn_pair():
+    g = rmat_graph(128, 1024, seed=8, with_val=True)
+    plan = neighbor_grouping_plan(g, 8)
+    rng = np.random.default_rng(9)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    agg, tr = spmm_nn(plan, h, w)
+    np.testing.assert_allclose(agg, spmm_xla(plan, h), rtol=1e-5)
+    np.testing.assert_allclose(tr, spmm_xla(plan, h) @ w, rtol=1e-4, atol=1e-4)

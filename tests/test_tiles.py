@@ -1,0 +1,146 @@
+"""Tile densification + BCSR/hybrid aggregation correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_computing_tpu.graph.synthetic import rmat_graph
+from gnn_computing_tpu.graph.reorder import degree_sort, cluster_reorder
+from gnn_computing_tpu.schedule import neighbor_grouping_plan
+from gnn_computing_tpu.schedule.tiles import densify
+from gnn_computing_tpu.ops.bcsr import bcsr_spmm_xla, hybrid_spmm
+from gnn_computing_tpu.ops.reference import spmm_dense
+from gnn_computing_tpu.ops.spmm import spmm_xla
+
+
+def _graph(n=512, m=4096, seed=3):
+    g = rmat_graph(n, m, seed=seed, with_val=True)
+    return g
+
+
+def test_densify_partitions_edges():
+    g = _graph()
+    tp, res = densify(g, tile_size=64, threshold=8)
+    assert tp.num_dense_edges + res.num_edges == g.num_edges
+    # every dense tile (except coverage pads) has >= threshold edges
+    a = np.asarray(tp.a)
+    nz = (a != 0).reshape(a.shape[0], -1).sum(axis=1)
+    real = nz[nz > 0]
+    assert (real >= 1).all()
+    # coverage: every destination tile-row appears
+    assert set(range(tp.num_row_tiles)) <= set(np.asarray(tp.tile_row))
+    # rows sorted
+    assert (np.diff(tp.tile_row) >= 0).all()
+
+
+@pytest.mark.parametrize("threshold", [1, 8, 10**9])
+def test_hybrid_matches_dense(threshold):
+    g = _graph()
+    tp, res = densify(g, tile_size=64, threshold=threshold)
+    plan = neighbor_grouping_plan(res, 16) if res.num_edges else None
+    h = jnp.asarray(
+        np.random.default_rng(0).normal(size=(g.num_nodes, 48)).astype(
+            np.float32
+        )
+    )
+    want = spmm_dense(g, np.asarray(h))
+    got = hybrid_spmm(tp, None, plan, None, h, "xla")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bcsr_only_matches_plan_path():
+    g = _graph()
+    tp, res = densify(g, tile_size=64, threshold=1)  # everything dense
+    assert res.num_edges == 0
+    h = jnp.asarray(
+        np.random.default_rng(1).normal(size=(g.num_nodes, 32)).astype(
+            np.float32
+        )
+    )
+    plan = neighbor_grouping_plan(g, 16)
+    np.testing.assert_allclose(
+        bcsr_spmm_xla(tp, h), spmm_xla(plan, h), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_hybrid_grad_matches_xla_grad():
+    g = _graph()
+    tp, res = densify(g, tile_size=64, threshold=8)
+    tp_t = tp.transpose()
+    plan = neighbor_grouping_plan(res, 16)
+    gt, _ = res.transpose_with_map()
+    plan_t = neighbor_grouping_plan(gt, 16)
+    full_plan = neighbor_grouping_plan(g, 16)
+
+    h = jnp.asarray(
+        np.random.default_rng(2).normal(size=(g.num_nodes, 24)).astype(
+            np.float32
+        )
+    )
+
+    def loss_hybrid(h):
+        return jnp.sum(hybrid_spmm(tp, tp_t, plan, plan_t, h, "xla") ** 2)
+
+    def loss_plain(h):
+        return jnp.sum(spmm_xla(full_plan, h) ** 2)
+
+    g1 = jax.grad(loss_hybrid)(h)
+    g2 = jax.grad(loss_plain)(h)
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3)
+
+
+def test_tile_transpose_roundtrip():
+    g = _graph()
+    tp, _ = densify(g, tile_size=64, threshold=4)
+    tp_t = tp.transpose()
+    h = jnp.asarray(
+        np.random.default_rng(3).normal(size=(g.num_nodes, 16)).astype(
+            np.float32
+        )
+    )
+    # A^T computed two ways: tile transpose vs dense reference on gt
+    dense = np.zeros((g.num_nodes, g.num_nodes), np.float32)
+    a = np.asarray(tp.a)
+    ts = tp.tile_size
+    for t in range(a.shape[0]):
+        r, c = int(tp.tile_row[t]) * ts, int(tp.tile_col[t]) * ts
+        blk = a[t]
+        rr = min(ts, g.num_nodes - r)
+        cc = min(ts, g.num_nodes - c)
+        dense[r : r + rr, c : c + cc] += blk[:rr, :cc]
+    want = jnp.asarray(dense.T) @ h
+    got = bcsr_spmm_xla(tp_t, h)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_degree_sort_improves_tile_concentration():
+    g = rmat_graph(2048, 32768, seed=5)
+    tp0, res0 = densify(g, tile_size=64, threshold=16)
+    g2 = g.reorder(degree_sort(g))
+    tp1, res1 = densify(g2, tile_size=64, threshold=16)
+    assert tp1.num_dense_edges >= tp0.num_dense_edges
+
+
+def test_cluster_reorder_is_permutation():
+    g = rmat_graph(1024, 8192, seed=7)
+    perm = cluster_reorder(g, num_perm=16, bands=4)
+    assert sorted(perm.tolist()) == list(range(g.num_nodes))
+    g2 = g.reorder(perm)
+    assert g2.num_edges == g.num_edges
+
+
+def test_reordered_aggregation_consistent():
+    """validReordered semantics (spmm.h:71-91): aggregate on the reordered
+    graph, map rows back, compare against the unreordered result."""
+    g = _graph(n=300, m=2400, seed=9)
+    perm = degree_sort(g)
+    g2 = g.reorder(perm)
+    h = np.random.default_rng(4).normal(size=(g.num_nodes, 20)).astype(
+        np.float32
+    )
+    plan = neighbor_grouping_plan(g, 16)
+    plan2 = neighbor_grouping_plan(g2, 16)
+    out1 = np.asarray(spmm_xla(plan, jnp.asarray(h)))
+    out2 = np.asarray(spmm_xla(plan2, jnp.asarray(h[perm])))
+    np.testing.assert_allclose(out2, out1[perm], rtol=1e-4, atol=1e-4)
