@@ -1,0 +1,102 @@
+"""Fig7 analog: end-to-end 3-layer model forward times (GCN / GAT / SAGE).
+
+Reference: Figure7/{our,dgl_prof,pyg}.py + run_our.sh — 3-layer pipelines at
+dims 512->128->64->32 (our.py:92-95), mean forward time.  Here each model
+runs with the framework's best schedule; the V100 "Ours" numbers in
+BASELINE.md are the bar to clear at reddit scale (bench.py's job); this
+sweep tracks the shape across graph scales.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks import common
+from gnn_computing_tpu.graph.sample import presample_fixed_neighbors
+from gnn_computing_tpu.graph.synthetic import normal_features
+from gnn_computing_tpu.models import (
+    BENCH_DIMS,
+    init_gat_params,
+    init_gcn_params,
+)
+from gnn_computing_tpu.models.gat import gat_forward
+from gnn_computing_tpu.models.gcn import gcn_forward_bench
+from gnn_computing_tpu.models.sage_lstm import (
+    BENCH_FEATURE_LEN,
+    BENCH_NUM_NEIGHBORS,
+)
+from gnn_computing_tpu.ops.lstm import init_lstm_params, lstm_aggregate
+from gnn_computing_tpu.schedule import neighbor_grouping_plan
+from gnn_computing_tpu.utils.timing import benchmark_chained
+
+
+def main():
+    args = common.parser(__doc__).parse_args()
+    for name, g in common.datasets(args):
+        plan = neighbor_grouping_plan(g, args.nei).device_put()
+        h = jnp.asarray(
+            normal_features(g.num_nodes, BENCH_DIMS[0], seed=1) * 0.1
+        )
+
+        gcn_params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
+        r = benchmark_chained(
+            gcn_forward_bench, plan, gcn_params, h, iters=args.iters
+        )
+        common.emit(
+            "fig7",
+            dict(
+                dataset=name,
+                model="GCN",
+                seconds=r.min_s,
+                edges_per_s=3 * g.num_edges / r.min_s,
+            ),
+            args,
+        )
+
+        gat_params = init_gat_params(jax.random.key(1), BENCH_DIMS)
+        r = benchmark_chained(
+            gat_forward, plan, gat_params, h, iters=args.iters
+        )
+        common.emit(
+            "fig7",
+            dict(
+                dataset=name,
+                model="GAT",
+                seconds=r.min_s,
+                edges_per_s=3 * g.num_edges / r.min_s,
+            ),
+            args,
+        )
+
+        nbr = jnp.asarray(
+            presample_fixed_neighbors(g, k=BENCH_NUM_NEIGHBORS, seed=2)
+        )
+        x = jnp.asarray(
+            normal_features(g.num_nodes, BENCH_FEATURE_LEN, seed=3) * 0.1
+        )
+        lstm = init_lstm_params(
+            jax.random.key(2), BENCH_FEATURE_LEN, BENCH_FEATURE_LEN
+        )
+        r = benchmark_chained(
+            lambda p, xx, nb: lstm_aggregate(p, xx, nb, "redundancy_bypass"),
+            lstm,
+            x,
+            nbr,
+            iters=args.iters,
+        )
+        common.emit(
+            "fig7",
+            dict(
+                dataset=name,
+                model="SAGE-LSTM",
+                seconds=r.min_s,
+                edges_per_s=g.num_nodes * BENCH_NUM_NEIGHBORS / r.min_s,
+            ),
+            args,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Fig8 analog: load balance — actual vs perfectly-balanced aggregation time.
+
+Reference: Figure8/main.cu — per-block GPU clocks compare the measured
+kernel time against the perfectly-balanced lower bound (sum of block
+durations / parallel capacity), base vs neighbor-grouping.
+
+TPU rendition: the unbalanced baseline is the ``nop`` schedule (one task per
+row padded to MAX degree — the analog of warp-per-row, aggr_gcn.h:5-36) vs
+the NG schedule; the "balanced" bound is measured_time * slot_occupancy
+(valid slots / issued slots — TPU work is slot-proportional, so occupancy
+is exactly the balance loss the reference's SM clocks measure).
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from benchmarks import common
+from gnn_computing_tpu.graph.synthetic import normal_features
+from gnn_computing_tpu.ops.spmm import spmm_xla
+from gnn_computing_tpu.schedule import neighbor_grouping_plan, nop_plan
+from gnn_computing_tpu.utils.timing import benchmark_chained
+
+
+def main():
+    ap = common.parser(__doc__)
+    args = ap.parse_args()
+    for name, g in common.datasets(args):
+        h = jnp.asarray(
+            normal_features(g.num_nodes, args.feature_len, seed=1) * 0.1
+        )
+        for sched, plan in (
+            ("base", nop_plan(g).device_put()),
+            ("NG", neighbor_grouping_plan(g, args.nei).device_put()),
+        ):
+            r = benchmark_chained(spmm_xla, plan, h, iters=args.iters)
+            occ = plan.stats()["slot_occupancy"]
+            common.emit(
+                "fig8",
+                dict(
+                    dataset=name,
+                    schedule=sched,
+                    actual_s=r.min_s,
+                    balanced_s=r.min_s * occ,
+                    slot_occupancy=occ,
+                    num_tasks=plan.num_tasks,
+                    block_size=plan.block_size,
+                ),
+                args,
+            )
+
+
+if __name__ == "__main__":
+    main()

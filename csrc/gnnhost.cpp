@@ -1,0 +1,222 @@
+// gnnhost — native host-side runtime for gnn_computing_tpu.
+//
+// The reference implements its graph loader, scheduler and sampling
+// compaction in C++/CUDA (src/data.cu, include/graph_schedule.h,
+// include/sample.h).  The TPU rebuild keeps device compute in XLA/Pallas,
+// but the host-side O(m) preprocessing passes are equally native here:
+// this library provides the hot loops that are slow as interpreted Python
+// (text parsing, schedule emission, union-find clustering, subgraph
+// compaction).  Python binds via ctypes (gnn_computing_tpu/native.py)
+// with numpy fallbacks, so the framework works without a compiler.
+//
+// Build: g++ -O3 -march=native -shared -fPIC gnnhost.cpp -o libgnnhost.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <fcntl.h>
+#include <unistd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- parsing
+// Parse whitespace-separated non-negative integers from a text file.
+// Mirrors the reference loader's fscanf loop (src/data.cu:63-88) but mmap'd.
+// Returns the number of integers written (<= cap), or -1 on IO error.
+// Pass out=nullptr to count tokens only.
+int64_t gs_parse_ints(const char* path, int64_t* out, int64_t cap) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return -1;
+  }
+  size_t len = (size_t)st.st_size;
+  if (len == 0) {
+    close(fd);
+    return 0;
+  }
+  const char* p =
+      (const char*)mmap(nullptr, len, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (p == MAP_FAILED) {
+    close(fd);
+    return -1;
+  }
+  const char* end = p + len;
+  int64_t count = 0;
+  const char* s = p;
+  while (s < end) {
+    while (s < end && (*s < '0' || *s > '9') && *s != '-') s++;
+    if (s >= end) break;
+    bool neg = false;
+    if (*s == '-') {
+      neg = true;
+      s++;
+    }
+    int64_t v = 0;
+    while (s < end && *s >= '0' && *s <= '9') {
+      v = v * 10 + (*s - '0');
+      s++;
+    }
+    if (out != nullptr) {
+      if (count >= cap) break;
+      out[count] = neg ? -v : v;
+    }
+    count++;
+  }
+  munmap((void*)p, len);
+  close(fd);
+  return count;
+}
+
+// -------------------------------------------------------------- scheduling
+// Neighbor-grouping task emission (reference neighbor_grouping_schedule,
+// graph_schedule.h:91-154): split each CSR row into tasks of <= block
+// edges.  Returns num_tasks.  Pass task_start=nullptr to count only.
+// task_start[t] = first edge of task t (CSR edge order)
+// task_count[t] = edges in task t; task_dst[t] = destination row.
+int64_t gs_ng_schedule(int64_t n, const int32_t* indptr, int64_t block,
+                       int64_t* task_start, int32_t* task_count,
+                       int32_t* task_dst) {
+  int64_t t = 0;
+  for (int64_t v = 0; v < n; v++) {
+    int64_t beg = indptr[v], deg = indptr[v + 1] - beg;
+    for (int64_t off = 0; off < deg; off += block) {
+      if (task_start != nullptr) {
+        task_start[t] = beg + off;
+        task_count[t] = (int32_t)(deg - off < block ? deg - off : block);
+        task_dst[t] = (int32_t)v;
+      }
+      t++;
+    }
+  }
+  return t;
+}
+
+// ------------------------------------------------------------- clustering
+// Union-find agglomerative merge with cluster-size cap — the merge loop of
+// the reference's LSH reordering (script/cluster2.py:108-153).  ``pairs``
+// is 2*npairs int64s ordered best-first; afterwards root[i] holds each
+// vertex's representative.
+void gs_union_find_merge(int64_t n, int64_t npairs, const int64_t* pairs,
+                         int64_t cap, int64_t* root) {
+  int64_t* parent = (int64_t*)malloc(sizeof(int64_t) * n);
+  int64_t* size = (int64_t*)malloc(sizeof(int64_t) * n);
+  for (int64_t i = 0; i < n; i++) {
+    parent[i] = i;
+    size[i] = 1;
+  }
+  auto find = [&](int64_t x) {
+    int64_t r = x;
+    while (parent[r] != r) r = parent[r];
+    while (parent[x] != r) {
+      int64_t nx = parent[x];
+      parent[x] = r;
+      x = nx;
+    }
+    return r;
+  };
+  for (int64_t k = 0; k < npairs; k++) {
+    int64_t ru = find(pairs[2 * k]);
+    int64_t rv = find(pairs[2 * k + 1]);
+    if (ru == rv || size[ru] + size[rv] > cap) continue;
+    parent[rv] = ru;
+    size[ru] += size[rv];
+  }
+  for (int64_t i = 0; i < n; i++) root[i] = find(i);
+  free(parent);
+  free(size);
+}
+
+// ---------------------------------------------------------------- sampling
+// Subgraph row compaction (reference getSubDegree/moveEdge,
+// sample.h:20-45,59-75 and the capped variants :47-107): for each vertex in
+// ``vertices`` (original ids), copy its in-edges whose source is active,
+// renumbered through ``renum``; cap > 0 limits edges per row via a simple
+// xorshift reservoir (deterministic in ``seed``).
+// Returns total edges written.  First call with out_src=nullptr sizes the
+// output (upper bound: cap<=0 ? sum of filtered degrees : num_v*cap).
+int64_t gs_subgraph_compact(int64_t num_v, const int32_t* vertices,
+                            const int32_t* indptr, const int32_t* indices,
+                            const uint8_t* active, const int64_t* renum,
+                            int64_t cap, uint64_t seed, int32_t* out_src,
+                            int32_t* out_dst, int64_t* out_rowptr) {
+  uint64_t state = seed ? seed : 0x9E3779B97F4A7C15ull;
+  auto next = [&]() {
+    state ^= state << 13;
+    state ^= state >> 7;
+    state ^= state << 17;
+    return state;
+  };
+  int64_t w = 0;
+  for (int64_t i = 0; i < num_v; i++) {
+    if (out_rowptr != nullptr) out_rowptr[i] = w;
+    int32_t v = vertices[i];
+    int64_t beg = indptr[v], end = indptr[v + 1];
+    if (cap <= 0) {
+      for (int64_t e = beg; e < end; e++) {
+        int32_t s = indices[e];
+        if (!active[s]) continue;
+        if (out_src != nullptr) {
+          out_src[w] = (int32_t)renum[s];
+          out_dst[w] = (int32_t)i;
+        }
+        w++;
+      }
+    } else {
+      // reservoir sample up to cap active sources of this row
+      int64_t kept = 0;
+      int64_t row_start = w;
+      for (int64_t e = beg; e < end; e++) {
+        int32_t s = indices[e];
+        if (!active[s]) continue;
+        if (kept < cap) {
+          if (out_src != nullptr) {
+            out_src[row_start + kept] = (int32_t)renum[s];
+            out_dst[row_start + kept] = (int32_t)i;
+          }
+          kept++;
+        } else {
+          int64_t j = (int64_t)(next() % (uint64_t)(kept + 1));
+          if (j < cap && out_src != nullptr) {
+            out_src[row_start + j] = (int32_t)renum[s];
+          }
+          kept++;  // counts seen actives for reservoir correctness
+        }
+      }
+      w = row_start + (kept < cap ? kept : cap);
+    }
+  }
+  if (out_rowptr != nullptr) out_rowptr[num_v] = w;
+  return w;
+}
+
+// ------------------------------------------------------------- frontier
+// One hop of frontier expansion (reference expandActive, sample.h:109-124):
+// mark sources of all active frontier rows; writes newly-activated ids to
+// out_new, returns their count.
+int64_t gs_expand_frontier(int64_t frontier_n, const int32_t* frontier,
+                           const int32_t* indptr, const int32_t* indices,
+                           uint8_t* active, int32_t* out_new,
+                           int64_t out_cap) {
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < frontier_n; i++) {
+    int32_t v = frontier[i];
+    for (int64_t e = indptr[v]; e < indptr[v + 1]; e++) {
+      int32_t s = indices[e];
+      if (!active[s]) {
+        active[s] = 1;
+        if (cnt < out_cap) out_new[cnt] = s;
+        cnt++;
+      }
+    }
+  }
+  return cnt;
+}
+
+}  // extern "C"

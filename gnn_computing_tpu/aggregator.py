@@ -22,6 +22,7 @@ import numpy as np
 from gnn_computing_tpu.graph.csr import CSRGraph
 from gnn_computing_tpu.schedule import Schedule, make_plan
 from gnn_computing_tpu.schedule.plan import AggregationPlan
+from gnn_computing_tpu.schedule.tiles import TilePlan, densify
 from gnn_computing_tpu.ops import spmm as spmm_mod
 from gnn_computing_tpu.ops.spmm import (
     spmm,
@@ -34,7 +35,7 @@ from gnn_computing_tpu.ops.sddmm import sddmm as sddmm_op
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["plan", "plan_t", "edge_map_t"],
+    data_fields=["plan", "plan_t", "edge_map_t", "tile", "tile_t"],
     meta_fields=["num_nodes", "n_src", "num_edges"],
 )
 @dataclasses.dataclass
@@ -46,6 +47,10 @@ class Aggregator:
     num_nodes: int
     n_src: int
     num_edges: int
+    # hybrid MXU densification (schedule/tiles.py): when set, `plan` holds
+    # only the residual sparse edges and run() adds the dense-tile matmul
+    tile: Optional["TilePlan"] = None
+    tile_t: Optional["TilePlan"] = None
 
     # ------------------------------------------------------------- building
     @classmethod
@@ -76,6 +81,61 @@ class Aggregator:
         )
         return agg.device_put() if device_put else agg
 
+    @classmethod
+    def schedule_hybrid(
+        cls,
+        g: CSRGraph,
+        val=None,
+        tile_rows: int = 256,
+        tile_cols: int = 128,
+        threshold: Optional[int] = None,
+        residual_block: int = 8,
+        tile_dtype=None,
+        with_transpose: bool = True,
+        device_put: bool = True,
+        **densify_kw,
+    ) -> "Aggregator":
+        """Hybrid MXU-densified schedule: dense adjacency tiles on the
+        systolic array + NG gather plan for the sparse residue
+        (schedule/tiles.py; the TPU-native replacement for the reference's
+        locality schedule + reorder, SURVEY.md §7)."""
+        import numpy as _np
+
+        tile, res = densify(
+            g,
+            val=val,
+            tile_rows=tile_rows,
+            tile_cols=tile_cols,
+            threshold=threshold,
+            **densify_kw,
+        )
+        if tile_dtype is not None:
+            tile = tile.astype(tile_dtype)
+        plan = make_plan(
+            res, Schedule.neighbor_grouping, block_size=residual_block
+        )
+        tile_t = None
+        plan_t = None
+        edge_map = None
+        if with_transpose:
+            tile_t = tile.transpose()
+            gt, edge_map = res.transpose_with_map()
+            plan_t = make_plan(
+                gt, Schedule.neighbor_grouping, block_size=residual_block
+            )
+            edge_map = edge_map.astype(_np.int32)
+        agg = cls(
+            plan=plan,
+            plan_t=plan_t,
+            edge_map_t=edge_map,
+            num_nodes=g.num_nodes,
+            n_src=g.n_src,
+            num_edges=g.num_edges,
+            tile=tile,
+            tile_t=tile_t,
+        )
+        return agg.device_put() if device_put else agg
+
     def device_put(self) -> "Aggregator":
         return dataclasses.replace(
             self,
@@ -84,6 +144,8 @@ class Aggregator:
             edge_map_t=(
                 None if self.edge_map_t is None else jnp.asarray(self.edge_map_t)
             ),
+            tile=None if self.tile is None else self.tile.device_put(),
+            tile_t=None if self.tile_t is None else self.tile_t.device_put(),
         )
 
     # ------------------------------------------------------------ edge vals
@@ -106,6 +168,21 @@ class Aggregator:
         aggr_gcn.h:411-460).  With a transposed plan available, backward
         uses fast transposed aggregation; ``val``/``val_t`` are slot-layout
         edge values (val_t required iff val given and transpose in use)."""
+        if self.tile is not None:
+            from gnn_computing_tpu.ops.bcsr import hybrid_spmm
+
+            assert val is None, (
+                "hybrid aggregators carry edge values inside their plans"
+            )
+            plan = self.plan if self.plan.num_edges else None
+            plan_t = (
+                self.plan_t
+                if self.plan_t is not None and self.plan_t.num_edges
+                else None
+            )
+            return hybrid_spmm(
+                self.tile, self.tile_t, plan, plan_t, h, strategy
+            )
         if self.plan_t is not None:
             if val is None and self.plan_t.val is not None:
                 # plan values were built from the same graph val — already

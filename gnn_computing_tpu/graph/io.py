@@ -29,9 +29,16 @@ def dataset_config(datadir: str, dset: str) -> Tuple[int, int]:
     return int(parts[0]), int(parts[1])
 
 
-def _read_int_tokens(path: str) -> list:
+def _read_int_tokens(path: str):
+    """All whitespace-separated ints in a text file; native mmap scanner
+    (csrc/gnnhost.cpp gs_parse_ints) when available, else python split."""
+    from gnn_computing_tpu import native
+
+    arr = native.parse_ints(path)
+    if arr is not None:
+        return arr
     with open(path) as f:
-        return f.read().split()
+        return np.asarray(f.read().split(), dtype=np.int64)
 
 
 def load_reorder(

@@ -122,26 +122,31 @@ def cluster_reorder(
     order = np.argsort(-est, kind="stable")
     pairs = pairs[order]
 
-    # union-find with size cap (cluster2.py:108-153)
-    parent = np.arange(n, dtype=np.int64)
-    size = np.ones(n, dtype=np.int64)
+    # union-find with size cap (cluster2.py:108-153); native merge loop
+    # (csrc/gnnhost.cpp gs_union_find_merge) when available
+    from gnn_computing_tpu import native
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
+    root = native.union_find_merge(n, pairs, max_cluster)
+    if root is None:
+        parent = np.arange(n, dtype=np.int64)
+        size = np.ones(n, dtype=np.int64)
 
-    for u, v in pairs:
-        ru, rv = find(u), find(v)
-        if ru == rv or size[ru] + size[rv] > max_cluster:
-            continue
-        parent[rv] = ru
-        size[ru] += size[rv]
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
 
-    root = np.array([find(x) for x in range(n)], dtype=np.int64)
+        for u, v in pairs:
+            ru, rv = find(u), find(v)
+            if ru == rv or size[ru] + size[rv] > max_cluster:
+                continue
+            parent[rv] = ru
+            size[ru] += size[rv]
+
+        root = np.array([find(x) for x in range(n)], dtype=np.int64)
     # emit clusters in order of first appearance (cluster2.py:156-172):
     # stable sort vertices by (first occurrence of their root, vertex id)
     first = {}

@@ -86,24 +86,41 @@ def _compact(
     renum[vertices] = np.arange(len(vertices))
 
     # edges among active vertices, rows = active vertices, sources kept only
-    # if active (getSubDegree/moveEdge, sample.h:20-45,59-75)
-    dst_rows = []
-    src_rows = []
-    for new_id, v in enumerate(vertices):
-        row = g.indices[g.indptr[v] : g.indptr[v + 1]].astype(np.int64)
-        row = row[active[row]]
-        if cap is not None and len(row) > cap:
-            # per-vertex neighbor cap via sampling without replacement
-            # (getSubDegreeWithSample/moveEdgeSelective, sample.h:47-107)
-            row = rng.choice(row, size=cap, replace=False)
-        src_rows.append(renum[row])
-        dst_rows.append(np.full(len(row), new_id, dtype=np.int64))
-    src = (
-        np.concatenate(src_rows) if src_rows else np.zeros(0, np.int64)
+    # if active (getSubDegree/moveEdge, sample.h:20-45,59-75); native
+    # compaction (csrc/gnnhost.cpp gs_subgraph_compact) when available
+    from gnn_computing_tpu import native
+
+    compact = native.subgraph_compact(
+        vertices,
+        g.indptr,
+        g.indices,
+        active.astype(np.uint8),
+        renum,
+        cap=0 if cap is None else cap,
+        seed=int(rng.integers(1, 2**63 - 1)),
     )
-    dst = (
-        np.concatenate(dst_rows) if dst_rows else np.zeros(0, np.int64)
-    )
+    if compact is not None:
+        src, dst, _ = compact
+        src = src.astype(np.int64)
+        dst = dst.astype(np.int64)
+    else:
+        dst_rows = []
+        src_rows = []
+        for new_id, v in enumerate(vertices):
+            row = g.indices[g.indptr[v] : g.indptr[v + 1]].astype(np.int64)
+            row = row[active[row]]
+            if cap is not None and len(row) > cap:
+                # per-vertex neighbor cap via sampling without replacement
+                # (getSubDegreeWithSample/moveEdgeSelective, sample.h:47-107)
+                row = rng.choice(row, size=cap, replace=False)
+            src_rows.append(renum[row])
+            dst_rows.append(np.full(len(row), new_id, dtype=np.int64))
+        src = (
+            np.concatenate(src_rows) if src_rows else np.zeros(0, np.int64)
+        )
+        dst = (
+            np.concatenate(dst_rows) if dst_rows else np.zeros(0, np.int64)
+        )
     sub = CSRGraph.from_edges(
         dst=dst,
         src=src.astype(np.int32),

@@ -21,15 +21,20 @@ BENCH_DIMS = (512, 128, 64, 32)  # reference our.py:92-95
 
 
 def gcn_layer(
-    plan: AggregationPlan,
+    plan,
     h: jnp.ndarray,
     w: jnp.ndarray,
     val=None,
     activation=jax.nn.relu,
     strategy: str = "auto",
 ) -> jnp.ndarray:
+    """``plan`` is an AggregationPlan or an Aggregator (including the
+    hybrid MXU-densified kind, aggregator.schedule_hybrid)."""
     z = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
-    z = spmm(plan, z, val=val, strategy=strategy)
+    if hasattr(plan, "run"):
+        z = plan.run(z, strategy=strategy)
+    else:
+        z = spmm(plan, z, val=val, strategy=strategy)
     return activation(z) if activation is not None else z
 
 

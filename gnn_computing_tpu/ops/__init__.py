@@ -16,6 +16,19 @@ from gnn_computing_tpu.ops.gat import (
     div_each,
     leaky_relu,
 )
+from gnn_computing_tpu.ops.bcsr import (
+    bcsr_spmm,
+    bcsr_spmm_xla,
+    hybrid_spmm,
+)
+from gnn_computing_tpu.ops.edge_mlp import edge_mlp
+from gnn_computing_tpu.ops.fused_nn import spmm_nn
+from gnn_computing_tpu.ops.lstm import (
+    LSTMParams,
+    init_lstm_params,
+    lstm_aggregate,
+    lstm_cell,
+)
 
 __all__ = [
     "spmm",
@@ -32,4 +45,13 @@ __all__ = [
     "add_to_center",
     "div_each",
     "leaky_relu",
+    "bcsr_spmm",
+    "bcsr_spmm_xla",
+    "hybrid_spmm",
+    "edge_mlp",
+    "spmm_nn",
+    "LSTMParams",
+    "init_lstm_params",
+    "lstm_aggregate",
+    "lstm_cell",
 ]

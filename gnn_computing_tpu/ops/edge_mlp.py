@@ -27,7 +27,12 @@ def edge_mlp(
     src_rows = jnp.take(h, jnp.asarray(plan.src).reshape(-1), axis=0)
     dst_rows = jnp.take(h, jnp.asarray(plan.dst), axis=0)  # [nt, f]
     z = src_rows.reshape(nt, b, f) + dst_rows[:, None, :]
-    z = jax.nn.relu(z.reshape(nt * b, f) @ w).reshape(nt, b, -1)
+    # full f32 matmul: the single-pass bf16 default breaks the 1e-2
+    # validation gate (relu boundary crossings amplify rounding)
+    z = jnp.matmul(
+        z.reshape(nt * b, f), w, precision=jax.lax.Precision.HIGHEST
+    )
+    z = jax.nn.relu(z).reshape(nt, b, -1)
     # pad slots contribute relu((h[0]+h[dst])W) != 0 -> mask them out
     z = jnp.where(plan.slot_mask()[:, :, None], z, 0.0)
     task = z.sum(axis=1)

@@ -1,12 +1,16 @@
 """Pallas BCSR aggregation kernel (scalar-prefetch block-sparse matmul).
 
-One grid step per dense adjacency tile: the A tile ([TS, TS]) and the H tile
-it selects ([TS, f], chosen by the prefetched ``tile_col`` scalars) stream
+One grid step per dense adjacency tile: the A tile ([R, C]) and the H tile
+it selects ([C, f], chosen by the prefetched ``tile_col`` scalars) stream
 through VMEM double-buffered by the Pallas pipeline; the output tile (chosen
 by ``tile_row``) stays VMEM-resident across the consecutive run of tiles
 sharing a destination tile-row (tiles are sorted by row; the kernel zeroes
 the accumulator at each run start).  No HBM intermediates at all — the XLA
-strategy's [chunk, TS, f] gather/product buffers disappear.
+strategy's [chunk, R, f] gather/product buffers disappear.
+
+The kernel is HBM-bound on (A + H) tile traffic (PERF_NOTES.md), which is
+why TilePlan defaults to tall [256 x 128] tiles (one H read serves 256
+destination rows) and why factored plans store bf16-exact integer tiles.
 
 This kernel plays the role of the reference's fused scheduled aggregation
 kernels (aggr_gcn.h:78-114): tile == neighbor group, VMEM accumulator ==
@@ -19,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gnn_computing_tpu.schedule.tiles import TilePlan
 
@@ -42,7 +47,8 @@ def supported(tp: TilePlan, h) -> bool:
     return (
         _tpu_available()
         and h.ndim == 2
-        and tp.tile_size % 8 == 0
+        and tp.tile_rows % 8 == 0
+        and tp.tile_cols % 128 == 0
         and h.shape[-1] >= 8
     )
 
@@ -51,23 +57,53 @@ def preferred(tp: TilePlan, h) -> bool:
     return supported(tp, h)
 
 
-def bcsr_spmm_pallas(tp: TilePlan, h: jnp.ndarray) -> jnp.ndarray:
+def bcsr_spmm_pallas(
+    tp: TilePlan,
+    h: jnp.ndarray,
+    precision=lax.Precision.HIGHEST,
+    h_mode: str = "auto",
+) -> jnp.ndarray:
+    """h_mode:
+      'auto'   — 'split3' for f32 h with bf16 tiles, else 'native'.
+      'split'  — h decomposed into 2 bf16 residue chunks (16 mantissa
+                 bits); exact bf16 MXU dots summed in f32.  Fast but can
+                 miss the 1e-2 gate on heavy-cancellation rows.
+      'split3' — 3 bf16 residue chunks (24 mantissa bits == f32): full f32
+                 accuracy from exact bf16 dots over bf16-exact tiles.
+      'native' — single dot in the operand dtype; f32 operands run at
+                 ``precision`` (HIGHEST: Mosaic only lowers
+                 DEFAULT/HIGHEST), bf16 operands multiply exactly.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ts = tp.tile_size
+    if precision in (lax.Precision.HIGH, lax.Precision.HIGHEST):
+        precision = lax.Precision.HIGHEST
+
+    tr, tc = tp.tile_rows, tp.tile_cols
     f = h.shape[-1]
     nct, nrt = tp.num_col_tiles, tp.num_row_tiles
-    n_pad = nct * ts
+    out_dtype = h.dtype
+
+    a = jnp.asarray(tp.a)
+    if h_mode == "auto":
+        h_mode = (
+            "split3"
+            if h.dtype == jnp.float32 and a.dtype == jnp.bfloat16
+            else "native"
+        )
+
+    if tp.scale_src is not None:
+        h = h * jnp.asarray(tp.scale_src)[:, None].astype(h.dtype)
+    n_pad = nct * tc
     if h.shape[0] != n_pad:
         h = jnp.pad(h, ((0, n_pad - h.shape[0]), (0, 0)))
 
-    a = jnp.asarray(tp.a)
     num_t = a.shape[0]
     row = jnp.asarray(tp.tile_row)
     col = jnp.asarray(tp.tile_col)
 
-    def kernel(row_ref, col_ref, a_ref, h_ref, o_ref):
+    def _zero_guard(row_ref, o_ref):
         i = pl.program_id(0)
         prev = row_ref[jnp.maximum(i - 1, 0)]
 
@@ -75,23 +111,66 @@ def bcsr_spmm_pallas(tp: TilePlan, h: jnp.ndarray) -> jnp.ndarray:
         def _zero():
             o_ref[...] = jnp.zeros_like(o_ref)
 
-        o_ref[...] += jnp.dot(
-            a_ref[0], h_ref[...], preferred_element_type=o_ref.dtype
-        )
+    h_index = lambda i, row, col: (col[i], 0)
+    a_spec = pl.BlockSpec((1, tr, tc), lambda i, row, col: (i, 0, 0))
+    h_spec = pl.BlockSpec((tc, f), h_index)
+    out_spec = pl.BlockSpec((tr, f), lambda i, row, col: (row[i], 0))
+
+    if h_mode in ("split", "split3"):
+        nchunks = 2 if h_mode == "split" else 3
+        chunks = []
+        rem = h
+        for _ in range(nchunks):
+            c = rem.astype(jnp.bfloat16)
+            chunks.append(c)
+            rem = rem - c.astype(jnp.float32)
+        # pack residue chunks side by side: ONE [tc, nchunks*f] block per
+        # step (one DMA, one wide MXU dot) instead of nchunks operands
+        h_packed = jnp.concatenate(chunks, axis=1)
+
+        def kernel(row_ref, col_ref, a_ref, h_ref, o_ref):
+            _zero_guard(row_ref, o_ref)
+            p = jnp.dot(
+                a_ref[0], h_ref[...], preferred_element_type=jnp.float32
+            )
+            acc = o_ref[...]
+            for k in range(nchunks):
+                acc += p[:, k * f : (k + 1) * f]
+            o_ref[...] = acc
+
+        in_specs = [a_spec, pl.BlockSpec((tc, nchunks * f), h_index)]
+        operands = (row, col, a, h_packed)
+    else:
+
+        def kernel(row_ref, col_ref, a_ref, h_ref, o_ref):
+            _zero_guard(row_ref, o_ref)
+            a_blk = a_ref[0]
+            h_blk = h_ref[...]
+            if a_blk.dtype != h_blk.dtype:
+                a_blk = a_blk.astype(h_blk.dtype)
+            o_ref[...] += jnp.dot(
+                a_blk,
+                h_blk,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
+        in_specs = [a_spec, h_spec]
+        operands = (row, col, a, h)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_t,),
-        in_specs=[
-            pl.BlockSpec((1, ts, ts), lambda i, row, col: (i, 0, 0)),
-            pl.BlockSpec((ts, f), lambda i, row, col: (col[i], 0)),
-        ],
-        out_specs=pl.BlockSpec((ts, f), lambda i, row, col: (row[i], 0)),
+        in_specs=in_specs,
+        out_specs=out_spec,
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nrt * ts, f), jnp.float32),
-    )(row, col, a, h)
-    return out[: tp.num_nodes].astype(h.dtype)
+        out_shape=jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
+    )(*operands)
+    out = out[: tp.num_nodes]
+    if tp.scale_dst is not None:
+        out = out * jnp.asarray(tp.scale_dst)[:, None]
+    return out.astype(out_dtype)

@@ -6,17 +6,22 @@ script/cluster2.py).  On TPU the measured ceiling of ANY row-gather
 formulation is the ~1.2 G-rows/s row-issue rate (PERF_NOTES.md) — far below
 the V100 baseline.  The TPU-native escape is the MXU: after a
 locality-improving vertex reorder, real graphs concentrate edges in a small
-set of dense [TS x TS] adjacency tiles.  Those tiles become *dense* blocks
-multiplied on the systolic array (one [TS, TS] @ [TS, f] matmul aggregates
-every edge in the tile and reuses each gathered H tile for TS destination
-rows); the leftover sparse edges go through the standard gather plan.
+set of dense adjacency tiles.  Those tiles become *dense* blocks multiplied
+on the systolic array; the leftover sparse edges go through the standard
+gather plan (a hybrid, assembled by ops.bcsr.hybrid_spmm).
 
 This is the same locality insight as the reference's LAS, re-derived for a
 machine whose fast path is dense matmul rather than cached gathers.
 
-Cost model (v5e, f=128, bf16 tiles): a dense tile costs ~40 ns (HBM-bound on
-the A-tile read) vs ~0.83 ns/edge for gathers => densify tiles with >= ~48
-edges.  The threshold is exposed and autotunable.
+Design points (all measured on v5e, see PERF_NOTES.md):
+  * Tiles are RECTANGULAR [R x 128] with R defaulting to 256: the kernel is
+    HBM-bound on (A tile + H tile) traffic, and a taller tile amortizes one
+    [128, f] H read over R destination rows.
+  * Edge values can be FACTORED out as out = s_dst * (A01 @ (s_src * h))
+    when they are a product val[e] = s_dst[dst] * s_src[src] (GCN symmetric
+    normalization; unweighted graphs are the trivial case).  The tile
+    matrix then holds exact small-integer edge counts, representable
+    EXACTLY in bfloat16 — half the A traffic at full f32 accuracy.
 """
 
 from __future__ import annotations
@@ -33,11 +38,12 @@ from gnn_computing_tpu.graph.csr import CSRGraph
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["a", "tile_col", "tile_row"],
+    data_fields=["a", "tile_col", "tile_row", "scale_dst", "scale_src"],
     meta_fields=[
         "num_nodes",
         "n_src",
-        "tile_size",
+        "tile_rows",
+        "tile_cols",
         "num_tiles",
         "num_dense_edges",
     ],
@@ -46,31 +52,36 @@ from gnn_computing_tpu.graph.csr import CSRGraph
 class TilePlan:
     """Dense adjacency tiles ready for MXU aggregation.
 
-    a:        [num_tiles, TS, TS] tile values; a[t, i, j] is the weight of
-              edge (src = tile_col[t]*TS + j) -> (dst = tile_row[t]*TS + i),
-              0 where no edge.
+    a:        [num_tiles, R, C] tile values; a[t, i, j] is the weight of
+              edge (src = tile_col[t]*C + j) -> (dst = tile_row[t]*R + i),
+              0 where no edge (duplicate edges accumulate).
     tile_col: int32[num_tiles] source-tile index per tile.
     tile_row: int32[num_tiles] destination-tile index per tile, sorted
               ascending so output tiles are visited in consecutive runs.
+    scale_dst/scale_src: optional f32[num_nodes]/[n_src] diagonal factors
+              applied around the tile matmul (factored edge values).
     """
 
     a: np.ndarray
     tile_col: np.ndarray
     tile_row: np.ndarray
+    scale_dst: Optional[np.ndarray]
+    scale_src: Optional[np.ndarray]
 
     num_nodes: int
     n_src: int
-    tile_size: int
+    tile_rows: int
+    tile_cols: int
     num_tiles: int
     num_dense_edges: int
 
     @property
     def num_row_tiles(self) -> int:
-        return -(-self.num_nodes // self.tile_size)
+        return -(-self.num_nodes // self.tile_rows)
 
     @property
     def num_col_tiles(self) -> int:
-        return -(-self.n_src // self.tile_size)
+        return -(-self.n_src // self.tile_cols)
 
     def device_put(self, sharding=None) -> "TilePlan":
         import jax.numpy as jnp
@@ -80,25 +91,25 @@ class TilePlan:
             if sharding is not None
             else jnp.asarray
         )
+        opt = lambda x: None if x is None else put(x)
         return dataclasses.replace(
             self,
             a=put(self.a),
             tile_col=put(self.tile_col),
             tile_row=put(self.tile_row),
+            scale_dst=opt(self.scale_dst),
+            scale_src=opt(self.scale_src),
         )
 
     def astype(self, dtype) -> "TilePlan":
-        import jax.numpy as jnp
-
-        if isinstance(self.a, np.ndarray):
-            a = self.a.astype(dtype)
-        else:
-            a = self.a.astype(jnp.dtype(dtype))
-        return dataclasses.replace(self, a=a)
+        return dataclasses.replace(self, a=self.a.astype(dtype))
 
     def transpose(self) -> "TilePlan":
-        """Tile plan of the transposed matrix A^T (for backward aggregation):
-        swap row/col roles, transpose every tile, re-sort by new row."""
+        """Tile plan of the transposed matrix A^T (for backward
+        aggregation): swap row/col roles, transpose every tile, re-sort by
+        new row.  Requires square tiles OR re-tiling; for rectangular tiles
+        the transposed plan has shape [C x R] tiles, which the ops handle
+        symmetrically."""
         order = np.argsort(self.tile_col, kind="stable")
         a = np.ascontiguousarray(
             np.asarray(self.a)[order].transpose(0, 2, 1)
@@ -107,9 +118,12 @@ class TilePlan:
             a=a,
             tile_col=np.asarray(self.tile_row)[order].astype(np.int32),
             tile_row=np.asarray(self.tile_col)[order].astype(np.int32),
+            scale_dst=self.scale_src,
+            scale_src=self.scale_dst,
             num_nodes=self.n_src,
             n_src=self.num_nodes,
-            tile_size=self.tile_size,
+            tile_rows=self.tile_cols,
+            tile_cols=self.tile_rows,
             num_tiles=self.num_tiles,
             num_dense_edges=self.num_dense_edges,
         )
@@ -118,48 +132,66 @@ class TilePlan:
         a = np.asarray(self.a)
         return {
             "num_tiles": int(self.num_tiles),
-            "tile_size": int(self.tile_size),
+            "tile_rows": int(self.tile_rows),
+            "tile_cols": int(self.tile_cols),
             "num_dense_edges": int(self.num_dense_edges),
             "mean_edges_per_tile": (
                 self.num_dense_edges / self.num_tiles if self.num_tiles else 0.0
             ),
             "a_bytes": int(a.nbytes),
+            "factored": self.scale_dst is not None
+            or self.scale_src is not None,
         }
 
 
 def densify(
     g: CSRGraph,
     val: Optional[np.ndarray] = None,
-    tile_size: int = 128,
-    threshold: int = 48,
+    tile_rows: int = 256,
+    tile_cols: int = 128,
+    threshold: Optional[int] = None,
     ensure_row_coverage: bool = True,
     dtype=np.float32,
+    scale_dst: Optional[np.ndarray] = None,
+    scale_src: Optional[np.ndarray] = None,
+    # backwards-compat alias for square tiles
+    tile_size: Optional[int] = None,
 ) -> Tuple[TilePlan, CSRGraph]:
     """Split a graph into (dense tile plan, residual sparse graph).
 
-    Edges falling in [tile_size x tile_size] adjacency blocks holding at
+    Edges falling in [tile_rows x tile_cols] adjacency blocks holding at
     least ``threshold`` edges are materialized as dense MXU tiles; the rest
     are returned as a residual CSRGraph (same node ids) for the gather path.
+    Default threshold scales with tile area: 48 edges per 128x128 of area
+    (the v5e break-even density, PERF_NOTES.md).
+
+    With ``scale_dst``/``scale_src`` given, tile entries hold
+    ``val[e] / (scale_dst[dst] * scale_src[src])`` (exact edge counts when
+    val is exactly that product) and the scales ride along in the plan; the
+    residual graph keeps the ORIGINAL values, so
+    hybrid = scaled-tile-matmul + plain residual aggregation.
 
     ``ensure_row_coverage`` appends one all-zero tile for every destination
     tile-row with no dense tile, so a Pallas kernel writing output blocks by
-    tile_row covers (and zero-initializes) the whole output.  Zero tiles are
-    exact no-ops.  Duplicate edges accumulate into the tile entry (matching
-    segment-sum semantics of the sparse path).
+    tile_row covers (and zero-initializes) the whole output.
     """
+    if tile_size is not None:
+        tile_rows = tile_cols = tile_size
+    if threshold is None:
+        threshold = max(1, (48 * tile_rows * tile_cols) // (128 * 128))
     if val is None:
         val = g.val
     if val is None:
         val = np.ones(g.num_edges, np.float32)
     val = np.asarray(val, np.float32)
 
-    ts = tile_size
+    tr, tc = tile_rows, tile_cols
     src = g.indices.astype(np.int64)
     dst = g.dst_per_edge.astype(np.int64)
-    nct = -(-g.n_src // ts)
-    nrt = -(-g.num_nodes // ts)
+    nct = -(-g.n_src // tc)
+    nrt = -(-g.num_nodes // tr)
 
-    key = (dst // ts) * nct + (src // ts)
+    key = (dst // tr) * nct + (src // tc)
     uniq, inverse, counts = np.unique(
         key, return_inverse=True, return_counts=True
     )
@@ -168,23 +200,23 @@ def densify(
 
     dense_keys = uniq[dense_sel]
     num_tiles = len(dense_keys)
-    # tile id per dense edge: position of its key among dense keys
     tile_of_edge = np.searchsorted(dense_keys, key[edge_dense])
 
     tile_row = (dense_keys // nct).astype(np.int32)
     tile_col = (dense_keys % nct).astype(np.int32)
 
-    # dense tile values (duplicates accumulate)
-    a = np.zeros((max(num_tiles, 0), ts, ts), np.float32)
+    tile_val = val[edge_dense]
+    if scale_dst is not None:
+        tile_val = tile_val / np.asarray(scale_dst, np.float32)[dst[edge_dense]]
+    if scale_src is not None:
+        tile_val = tile_val / np.asarray(scale_src, np.float32)[src[edge_dense]]
+
+    a = np.zeros((max(num_tiles, 0), tr, tc), np.float32)
     if num_tiles:
         de_src = src[edge_dense]
         de_dst = dst[edge_dense]
-        flat = (
-            tile_of_edge * (ts * ts)
-            + (de_dst % ts) * ts
-            + (de_src % ts)
-        )
-        np.add.at(a.reshape(-1), flat, val[edge_dense])
+        flat = tile_of_edge * (tr * tc) + (de_dst % tr) * tc + (de_src % tc)
+        np.add.at(a.reshape(-1), flat, tile_val)
 
     num_dense_edges = int(edge_dense.sum())
 
@@ -193,9 +225,7 @@ def densify(
             np.arange(nrt, dtype=np.int32), tile_row, assume_unique=False
         )
         if len(missing):
-            a = np.concatenate(
-                [a, np.zeros((len(missing), ts, ts), np.float32)]
-            )
+            a = np.concatenate([a, np.zeros((len(missing), tr, tc), np.float32)])
             tile_row = np.concatenate([tile_row, missing])
             tile_col = np.concatenate(
                 [tile_col, np.zeros(len(missing), np.int32)]
@@ -207,14 +237,24 @@ def densify(
         a=a[order].astype(dtype),
         tile_col=tile_col[order].astype(np.int32),
         tile_row=tile_row[order].astype(np.int32),
+        scale_dst=(
+            None
+            if scale_dst is None
+            else np.asarray(scale_dst, np.float32)
+        ),
+        scale_src=(
+            None
+            if scale_src is None
+            else np.asarray(scale_src, np.float32)
+        ),
         num_nodes=g.num_nodes,
         n_src=g.n_src,
-        tile_size=ts,
+        tile_rows=tr,
+        tile_cols=tc,
         num_tiles=num_tiles,
         num_dense_edges=num_dense_edges,
     )
 
-    # residual graph: remaining edges, original ids/order
     res_sel = ~edge_dense
     res = CSRGraph.from_edges(
         dst=dst[res_sel],
@@ -224,3 +264,17 @@ def densify(
         n_src=g.n_src,
     )
     return plan, res
+
+
+def densify_gcn_norm(
+    g: CSRGraph, **kw
+) -> Tuple[TilePlan, CSRGraph]:
+    """Densify with the symmetric GCN normalization factored out:
+    val[e] = 1/sqrt(deg_dst * deg_src) == scale_dst[dst] * scale_src[src],
+    so tiles hold exact edge counts (bf16-exact)."""
+    out_deg = np.bincount(g.indices, minlength=g.n_src).astype(np.float32)
+    in_deg = g.degrees.astype(np.float32)
+    s_dst = 1.0 / np.sqrt(np.maximum(in_deg, 1.0))
+    s_src = 1.0 / np.sqrt(np.maximum(out_deg, 1.0))
+    val = s_dst[g.dst_per_edge] * s_src[g.indices]
+    return densify(g, val=val, scale_dst=s_dst, scale_src=s_src, **kw)

@@ -56,3 +56,44 @@ def benchmark(
         iters=iters,
         compile_s=compile_s,
     )
+
+
+def benchmark_chained(
+    fn: Callable, *args, iters: int = 10, reps: int = 3
+) -> BenchResult:
+    """Per-iteration time of ``fn(*args)`` with the iterations CHAINED
+    inside one jitted fori_loop and a scalar fetch.
+
+    Through a remote-dispatch tunnel (axon) per-call host timing is
+    dominated by ~ms dispatch+fetch overhead; chaining amortizes it away
+    (the technique behind every number in PERF_NOTES.md).  ``fn`` must
+    return a JAX array; a data dependence on its first element keeps the
+    loop body alive under DCE.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chained(*a):
+        def body(i, acc):
+            out = fn(*a)
+            return acc + out.astype(jnp.float32).ravel()[0] * 1e-9
+
+        return lax.fori_loop(0, iters, body, 0.0)
+
+    t0 = time.perf_counter()
+    float(chained(*args))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chained(*args))
+        times.append((time.perf_counter() - t0) / iters)
+    return BenchResult(
+        mean_s=sum(times) / len(times),
+        min_s=min(times),
+        max_s=max(times),
+        iters=iters * reps,
+        compile_s=compile_s,
+    )

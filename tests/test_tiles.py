@@ -102,12 +102,12 @@ def test_tile_transpose_roundtrip():
     # A^T computed two ways: tile transpose vs dense reference on gt
     dense = np.zeros((g.num_nodes, g.num_nodes), np.float32)
     a = np.asarray(tp.a)
-    ts = tp.tile_size
+    tr, tc = tp.tile_rows, tp.tile_cols
     for t in range(a.shape[0]):
-        r, c = int(tp.tile_row[t]) * ts, int(tp.tile_col[t]) * ts
+        r, c = int(tp.tile_row[t]) * tr, int(tp.tile_col[t]) * tc
         blk = a[t]
-        rr = min(ts, g.num_nodes - r)
-        cc = min(ts, g.num_nodes - c)
+        rr = min(tr, g.num_nodes - r)
+        cc = min(tc, g.num_nodes - c)
         dense[r : r + rr, c : c + cc] += blk[:rr, :cc]
     want = jnp.asarray(dense.T) @ h
     got = bcsr_spmm_xla(tp_t, h)
@@ -144,3 +144,36 @@ def test_reordered_aggregation_consistent():
     out1 = np.asarray(spmm_xla(plan, jnp.asarray(h)))
     out2 = np.asarray(spmm_xla(plan2, jnp.asarray(h[perm])))
     np.testing.assert_allclose(out2, out1[perm], rtol=1e-4, atol=1e-4)
+
+
+def test_rect_tiles_and_factored_norm():
+    """Rectangular [R x C] tiles + factored GCN normalization:
+    s_dst * (A_count @ (s_src * h)) must equal aggregating with
+    val = 1/sqrt(deg_dst*deg_src) (csr.gcn_norm_val semantics)."""
+    from gnn_computing_tpu.schedule.tiles import densify_gcn_norm
+
+    g = rmat_graph(700, 9000, seed=11)
+    val = g.gcn_norm_val()
+    tp, res = densify_gcn_norm(g, tile_rows=128, tile_cols=64, threshold=4)
+    assert tp.scale_dst is not None and tp.scale_src is not None
+    plan = neighbor_grouping_plan(res, 16) if res.num_edges else None
+    h = jnp.asarray(
+        np.random.default_rng(12).normal(size=(g.num_nodes, 40)).astype(
+            np.float32
+        )
+    )
+    got = hybrid_spmm(tp, None, plan, None, h, "xla")
+    want = spmm_dense(g, np.asarray(h), val=val)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # transposed factored plan: A^T with swapped scales
+    tp_t = tp.transpose()
+    gt, emap = g.transpose_with_map()
+    val_t = val[emap]
+    plan_t = (
+        neighbor_grouping_plan(res.transpose_with_map()[0], 16)
+        if res.num_edges
+        else None
+    )
+    got_t = hybrid_spmm(tp_t, None, plan_t, None, h, "xla")
+    want_t = spmm_dense(gt, np.asarray(h), val=val_t)
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-4, atol=1e-4)
