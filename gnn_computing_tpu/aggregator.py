@@ -206,6 +206,16 @@ class Aggregator:
     ) -> jnp.ndarray:
         """Fused GAT attention aggregation (Aggregator_GAT::run,
         aggr_gat.h:317-354)."""
+        if self.tile is not None:
+            from gnn_computing_tpu.ops.bcsr_gat import hybrid_gat
+
+            assert not stabilize, (
+                "hybrid GAT merges partial denominators — only the "
+                "reference's un-stabilized form is supported"
+            )
+            return hybrid_gat(
+                self.tile, self.plan, h, att, relu_slope=relu_slope
+            )
         return gat_mod.gat_aggregate(
             self.plan, h, att, relu_slope=relu_slope, stabilize=stabilize
         )

@@ -1,0 +1,178 @@
+"""GAT attention aggregation over dense MXU tiles (hybrid with residual).
+
+The fused GAT math (reference aggr_gat_fine, aggr_gat.h:167-213) on the
+block-sparse tile plan, via an exact factorization: leaky-relu is piecewise
+linear, so each attention score is multiplicatively separable on each
+branch,
+
+  exp(lrelu(a_i + a_j)) = e^{a_i} e^{a_j}            if a_i + a_j > 0
+                        = e^{s a_i} e^{s a_j}        otherwise (slope s)
+
+=> score tile S = C  *  [ I * u1 v1^T  +  (1-I) * u2 v2^T ]
+
+with C the (exact, bf16) count tile, I the sign indicator computed
+in-kernel (one broadcast add + compare), and u*/v* per-NODE exponentials
+precomputed once per layer.  The tile contribution becomes two MXU dots
+against pre-scaled feature operands with the denominator column packed in:
+
+  [num | den] += u1 * (C*I) @ [v1*h | v1]  +  u2 * (C*(1-I)) @ [v2*h | v2]
+
+so GAT rides the same BCSR machinery as GCN — no per-edge score tensor,
+no gather.  Normalization (scaleArray) happens after merging with the
+residual gather part (ops.gat.gat_aggregate_parts); both sides must use
+the UN-stabilized reference form so partial denominators are commensurate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gnn_computing_tpu.schedule.plan import AggregationPlan
+from gnn_computing_tpu.schedule.tiles import TilePlan
+from gnn_computing_tpu.ops.gat import DEFAULT_SLOPE, gat_aggregate_parts
+
+
+def _node_factors(att: jnp.ndarray, slope: float):
+    """(u1, u2, v1, v2): exp of dst/src attention halves on both branches."""
+    ad = att[:, 0].astype(jnp.float32)
+    asrc = att[:, 1].astype(jnp.float32)
+    return (
+        jnp.exp(ad),
+        jnp.exp(slope * ad),
+        jnp.exp(asrc),
+        jnp.exp(slope * asrc),
+    )
+
+
+def _pad_to(x: jnp.ndarray, size: int):
+    if x.shape[0] == size:
+        return x
+    pad = [(0, size - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def gat_bcsr_xla(
+    tp: TilePlan,
+    h: jnp.ndarray,
+    att: jnp.ndarray,
+    relu_slope: float = DEFAULT_SLOPE,
+    chunk: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(numerator [n, f], denominator [n]) of the dense-tile edges."""
+    tr, tc = tp.tile_rows, tp.tile_cols
+    f = h.shape[-1]
+    nct, nrt = tp.num_col_tiles, tp.num_row_tiles
+    u1, u2, v1, v2 = _node_factors(att, relu_slope)
+
+    ad = _pad_to(att[:, 0].astype(jnp.float32), nrt * tr).reshape(nrt, tr)
+    asrc = _pad_to(att[:, 1].astype(jnp.float32), nct * tc).reshape(nct, tc)
+    u1 = _pad_to(u1, nrt * tr).reshape(nrt, tr)
+    u2 = _pad_to(u2, nrt * tr).reshape(nrt, tr)
+    hp = _pad_to(h.astype(jnp.float32), nct * tc)
+    v1p = _pad_to(v1, nct * tc)
+    v2p = _pad_to(v2, nct * tc)
+    # [nct, tc, f+1] packed (v*h | v)
+    hv1 = jnp.concatenate([hp * v1p[:, None], v1p[:, None]], axis=1)
+    hv2 = jnp.concatenate([hp * v2p[:, None], v2p[:, None]], axis=1)
+    hv1 = hv1.reshape(nct, tc, f + 1)
+    hv2 = hv2.reshape(nct, tc, f + 1)
+
+    t = tp.a.shape[0]
+    chunk = min(chunk, max(t, 1))
+    t_pad = -(-t // chunk) * chunk
+    a = jnp.asarray(tp.a).astype(jnp.float32)
+    col = jnp.asarray(tp.tile_col)
+    row = jnp.asarray(tp.tile_row)
+    if t_pad != t:
+        a = jnp.pad(a, ((0, t_pad - t), (0, 0), (0, 0)))
+        col = jnp.pad(col, (0, t_pad - t))
+        row = jnp.pad(row, (0, t_pad - t))
+    a = a.reshape(t_pad // chunk, chunk, tr, tc)
+    col = col.reshape(t_pad // chunk, chunk)
+    row = row.reshape(t_pad // chunk, chunk)
+
+    def body(acc, c):
+        out_t, den_t = acc
+        a_c, col_c, row_c = c
+        ad_c = jnp.take(ad, row_c, axis=0)  # [chunk, tr]
+        as_c = jnp.take(asrc, col_c, axis=0)  # [chunk, tc]
+        pos = (ad_c[:, :, None] + as_c[:, None, :]) > 0
+        a1 = jnp.where(pos, a_c, 0.0)
+        a2 = a_c - a1
+        p1 = jnp.einsum(
+            "tij,tjf->tif",
+            a1,
+            jnp.take(hv1, col_c, axis=0),
+            precision=lax.Precision.HIGHEST,
+        )
+        p2 = jnp.einsum(
+            "tij,tjf->tif",
+            a2,
+            jnp.take(hv2, col_c, axis=0),
+            precision=lax.Precision.HIGHEST,
+        )
+        u1_c = jnp.take(u1, row_c, axis=0)[:, :, None]
+        u2_c = jnp.take(u2, row_c, axis=0)[:, :, None]
+        p = u1_c * p1 + u2_c * p2  # [chunk, tr, f+1]
+        out_t = out_t.at[row_c].add(p[:, :, :f])
+        den_t = den_t.at[row_c].add(p[:, :, f])
+        return (out_t, den_t), None
+
+    out_t = jnp.zeros((nrt, tr, f), jnp.float32)
+    den_t = jnp.zeros((nrt, tr), jnp.float32)
+    (out_t, den_t), _ = lax.scan(body, (out_t, den_t), (a, col, row))
+    return (
+        out_t.reshape(nrt * tr, f)[: tp.num_nodes],
+        den_t.reshape(nrt * tr)[: tp.num_nodes],
+    )
+
+
+def gat_bcsr(
+    tp: TilePlan,
+    h: jnp.ndarray,
+    att: jnp.ndarray,
+    relu_slope: float = DEFAULT_SLOPE,
+    strategy: str = "auto",
+):
+    if strategy in ("auto", "pallas"):
+        from gnn_computing_tpu.ops import pallas_bcsr
+
+        if pallas_bcsr.supported(tp, h) and strategy in ("auto", "pallas"):
+            try:
+                return pallas_bcsr.gat_bcsr_pallas(
+                    tp, h, att, relu_slope=relu_slope
+                )
+            except NotImplementedError:
+                pass
+    return gat_bcsr_xla(tp, h, att, relu_slope)
+
+
+def hybrid_gat(
+    tp: TilePlan,
+    plan: Optional[AggregationPlan],
+    h: jnp.ndarray,
+    att: jnp.ndarray,
+    relu_slope: float = DEFAULT_SLOPE,
+    strategy: str = "auto",
+) -> jnp.ndarray:
+    """Fused GAT forward over a hybrid (dense tiles + residual) schedule.
+
+    Requires count tiles (unweighted densification) — attention provides
+    the edge weights.  Residual part uses the un-stabilized reference form
+    so the partial softmax denominators merge exactly."""
+    assert tp.scale_dst is None and tp.scale_src is None, (
+        "hybrid GAT needs raw count tiles (no factored scales)"
+    )
+    num, den = gat_bcsr(tp, h, att, relu_slope, strategy)
+    if plan is not None and plan.num_edges:
+        nr, dr, _ = gat_aggregate_parts(
+            plan, h, att, relu_slope=relu_slope, stabilize=False
+        )
+        num = num + nr
+        den = den + dr
+    safe = jnp.where(den == 0.0, 1.0, den)
+    return (num / safe[:, None]).astype(h.dtype)

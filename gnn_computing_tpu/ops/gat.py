@@ -52,15 +52,18 @@ def _att_slots(plan: AggregationPlan, att: jnp.ndarray):
     return a_dst[:, None] + a_src
 
 
-def gat_aggregate(
+def gat_aggregate_parts(
     plan: AggregationPlan,
     h: jnp.ndarray,
     att: jnp.ndarray,
     relu_slope: float = DEFAULT_SLOPE,
     stabilize: bool = False,
-    return_scores: bool = False,
 ):
-    """Fused attention + softmax + aggregation (reference aggr_gat_fine)."""
+    """Un-normalized fused attention aggregation: returns
+    (numerator [n, f], denominator [n], slot_scores) — the pieces the
+    two-phase reference design accumulates before scaleArray
+    (aggr_gat.h:167-213).  Exposed so hybrid (dense-tile + residual)
+    aggregation can merge partial sums before the final division."""
     mask = plan.slot_mask()
     z = _att_slots(plan, att)
     z = leaky_relu(z, relu_slope)
@@ -88,6 +91,21 @@ def gat_aggregate(
     denom = jax.ops.segment_sum(
         denom_task, dst, num_segments=plan.num_nodes,
         indices_are_sorted=plan.sorted_by_dst,
+    )
+    return num, denom, score
+
+
+def gat_aggregate(
+    plan: AggregationPlan,
+    h: jnp.ndarray,
+    att: jnp.ndarray,
+    relu_slope: float = DEFAULT_SLOPE,
+    stabilize: bool = False,
+    return_scores: bool = False,
+):
+    """Fused attention + softmax + aggregation (reference aggr_gat_fine)."""
+    num, denom, score = gat_aggregate_parts(
+        plan, h, att, relu_slope=relu_slope, stabilize=stabilize
     )
     # scaleArray: divide only where the denominator is nonzero
     # (aggr_gat.h:207-213).

@@ -174,3 +174,121 @@ def bcsr_spmm_pallas(
     if tp.scale_dst is not None:
         out = out * jnp.asarray(tp.scale_dst)[:, None]
     return out.astype(out_dtype)
+
+
+def gat_bcsr_pallas(
+    tp: TilePlan,
+    h: jnp.ndarray,
+    att: jnp.ndarray,
+    relu_slope: float = 0.2,
+):
+    """Factored fused-GAT over dense tiles (see ops/bcsr_gat.py for the
+    math).  Per grid step: one broadcast-compare builds the branch
+    indicator, two MXU dots against packed pre-scaled operands produce the
+    numerator AND the softmax denominator (packed as an extra column);
+    per-destination branch exponentials apply as row post-scales in VMEM.
+    Outputs (numerator [n, f], denominator [n, 1]) accumulate across each
+    tile-row run exactly like the GCN kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tr, tc = tp.tile_rows, tp.tile_cols
+    f = h.shape[-1]
+    nct, nrt = tp.num_col_tiles, tp.num_row_tiles
+
+    def pad_to(x, size):
+        if x.shape[0] == size:
+            return x
+        p = [(0, size - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, p)
+
+    ad = pad_to(att[:, 0].astype(jnp.float32), nrt * tr)[:, None]
+    # [nct, 1, tc] so the (1, 1, tc) block's last two dims match the array
+    asrc = pad_to(att[:, 1].astype(jnp.float32), nct * tc).reshape(
+        nct, 1, tc
+    )
+    u1 = jnp.exp(ad)
+    u2 = jnp.exp(relu_slope * ad)
+    hp = pad_to(h.astype(jnp.float32), nct * tc)
+    v1 = jnp.exp(pad_to(att[:, 1].astype(jnp.float32), nct * tc))[:, None]
+    v2 = jnp.exp(relu_slope * pad_to(att[:, 1].astype(jnp.float32), nct * tc))[
+        :, None
+    ]
+    # packed operand per column tile: branch products (v*h | v) each split
+    # into 2 bf16 residue chunks (16 mantissa bits — exact enough for the
+    # 1e-2 gate; plain bf16 rounding of the products fails it on
+    # cancellation-heavy rows): [tc, 4*(f+1)]
+    def split2(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    b1 = jnp.concatenate([hp * v1, v1], axis=1)
+    b2 = jnp.concatenate([hp * v2, v2], axis=1)
+    b1_hi, b1_lo = split2(b1)
+    b2_hi, b2_lo = split2(b2)
+    hv = jnp.concatenate([b1_hi, b1_lo, b2_hi, b2_lo], axis=1)
+
+    a = jnp.asarray(tp.a)
+    num_t = a.shape[0]
+    row = jnp.asarray(tp.tile_row)
+    col = jnp.asarray(tp.tile_col)
+
+    fp = f + 1
+
+    def kernel(
+        row_ref, col_ref, a_ref, ad_ref, u1_ref, u2_ref, as_ref, hv_ref,
+        num_ref, den_ref,
+    ):
+        i = pl.program_id(0)
+        prev = row_ref[jnp.maximum(i - 1, 0)]
+
+        @pl.when((i == 0) | (row_ref[i] != prev))
+        def _zero():
+            num_ref[...] = jnp.zeros_like(num_ref)
+            den_ref[...] = jnp.zeros_like(den_ref)
+
+        cnt = a_ref[0].astype(jnp.float32)
+        pos = (ad_ref[...] + as_ref[0]) > 0.0  # [tr,1]+[1,tc] -> [tr,tc]
+        a1 = jnp.where(pos, cnt, 0.0).astype(jnp.bfloat16)
+        a2 = jnp.where(pos, 0.0, cnt).astype(jnp.bfloat16)
+        # branch 1 hits the (v1*h | v1) chunks, branch 2 the v2 chunks;
+        # each branch's two residue chunks reconstruct the f32 products
+        p1 = jnp.dot(
+            a1, hv_ref[:, : 2 * fp], preferred_element_type=jnp.float32
+        )
+        p2 = jnp.dot(
+            a2, hv_ref[:, 2 * fp :], preferred_element_type=jnp.float32
+        )
+        p1c = p1[:, :fp] + p1[:, fp:]
+        p2c = p2[:, :fp] + p2[:, fp:]
+        q = u1_ref[...] * p1c + u2_ref[...] * p2c
+        num_ref[...] += q[:, :f]
+        den_ref[...] += q[:, f:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_t,),
+        in_specs=[
+            pl.BlockSpec((1, tr, tc), lambda i, row, col: (i, 0, 0)),
+            pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
+            pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
+            pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
+            pl.BlockSpec((1, 1, tc), lambda i, row, col: (col[i], 0, 0)),
+            pl.BlockSpec((tc, 4 * (f + 1)), lambda i, row, col: (col[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, f), lambda i, row, col: (row[i], 0)),
+            pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
+        ],
+    )
+
+    num, den = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
+            jax.ShapeDtypeStruct((nrt * tr, 1), jnp.float32),
+        ],
+    )(row, col, a, ad, u1, u2, asrc, hv)
+    return num[: tp.num_nodes], den[: tp.num_nodes, 0]

@@ -177,3 +177,54 @@ def test_rect_tiles_and_factored_norm():
     got_t = hybrid_spmm(tp_t, None, plan_t, None, h, "xla")
     want_t = spmm_dense(gt, np.asarray(h), val=val_t)
     np.testing.assert_allclose(got_t, want_t, rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_gat_matches_dense_oracle():
+    """Factored fused-GAT on tiles + residual == dense reference
+    (gat_aggregate_dense, aggr_gat.h:116-164 math)."""
+    from gnn_computing_tpu.ops.bcsr_gat import hybrid_gat
+    from gnn_computing_tpu.ops.reference import gat_aggregate_dense
+
+    g = rmat_graph(600, 6000, seed=21, with_val=False)  # count tiles
+    tp, res = densify(g, tile_rows=128, tile_cols=64, threshold=6)
+    plan = neighbor_grouping_plan(res, 16) if res.num_edges else None
+    rng = np.random.default_rng(22)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 24)).astype(np.float32))
+    att = rng.normal(size=(g.num_nodes, 2)).astype(np.float32) * 0.5
+    got = hybrid_gat(tp, plan, h, jnp.asarray(att), strategy="xla")
+    want, _, _ = gat_aggregate_dense(g, np.asarray(h), att[:, 0], att[:, 1])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_hybrid_gat_via_aggregator():
+    from gnn_computing_tpu.aggregator import Aggregator
+    from gnn_computing_tpu.ops.reference import gat_aggregate_dense
+
+    g = rmat_graph(400, 3000, seed=23, with_val=False)
+    agg = Aggregator.schedule_hybrid(
+        g, tile_rows=64, tile_cols=64, threshold=4, with_transpose=False
+    )
+    rng = np.random.default_rng(24)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 16)).astype(np.float32))
+    att = rng.normal(size=(g.num_nodes, 2)).astype(np.float32) * 0.5
+    got = agg.run_gat(h, jnp.asarray(att))
+    want, _, _ = gat_aggregate_dense(g, np.asarray(h), att[:, 0], att[:, 1])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_hybrid_gcn_via_aggregator_grad():
+    from gnn_computing_tpu.aggregator import Aggregator
+    from gnn_computing_tpu.ops.reference import spmm_dense
+
+    g = rmat_graph(400, 3000, seed=25, with_val=True)
+    agg = Aggregator.schedule_hybrid(
+        g, tile_rows=64, tile_cols=64, threshold=4, with_transpose=True
+    )
+    rng = np.random.default_rng(26)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 16)).astype(np.float32))
+    out = agg.run(h)
+    np.testing.assert_allclose(
+        out, spmm_dense(g, np.asarray(h)), rtol=1e-4, atol=1e-4
+    )
+    gr = jax.grad(lambda x: jnp.sum(agg.run(x) ** 2))(h)
+    assert np.isfinite(np.asarray(gr)).all()
