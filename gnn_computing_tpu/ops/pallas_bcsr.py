@@ -103,18 +103,22 @@ def bcsr_spmm_pallas(
     row = jnp.asarray(tp.tile_row)
     col = jnp.asarray(tp.tile_col)
 
-    def _zero_guard(row_ref, o_ref):
+    # Accumulate each tile-row run in a VMEM scratch and write the output
+    # block ONCE at run end — reading o_ref back per step costs a measured
+    # ~20% in HBM round-trips (PERF_NOTES.md).
+    def _run_bounds(row_ref):
         i = pl.program_id(0)
         prev = row_ref[jnp.maximum(i - 1, 0)]
-
-        @pl.when((i == 0) | (row_ref[i] != prev))
-        def _zero():
-            o_ref[...] = jnp.zeros_like(o_ref)
+        nxt = row_ref[jnp.minimum(i + 1, num_t - 1)]
+        first = (i == 0) | (row_ref[i] != prev)
+        last = (i == num_t - 1) | (row_ref[i] != nxt)
+        return first, last
 
     h_index = lambda i, row, col: (col[i], 0)
     a_spec = pl.BlockSpec((1, tr, tc), lambda i, row, col: (i, 0, 0))
     h_spec = pl.BlockSpec((tc, f), h_index)
     out_spec = pl.BlockSpec((tr, f), lambda i, row, col: (row[i], 0))
+    scratch = [pltpu.VMEM((tr, f), jnp.float32)]
 
     if h_mode in ("split", "split3"):
         nchunks = 2 if h_mode == "split" else 3
@@ -128,32 +132,50 @@ def bcsr_spmm_pallas(
         # step (one DMA, one wide MXU dot) instead of nchunks operands
         h_packed = jnp.concatenate(chunks, axis=1)
 
-        def kernel(row_ref, col_ref, a_ref, h_ref, o_ref):
-            _zero_guard(row_ref, o_ref)
+        def kernel(row_ref, col_ref, a_ref, h_ref, o_ref, acc_ref):
+            first, last = _run_bounds(row_ref)
+
+            @pl.when(first)
+            def _zero():
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+
             p = jnp.dot(
                 a_ref[0], h_ref[...], preferred_element_type=jnp.float32
             )
-            acc = o_ref[...]
+            acc = acc_ref[...]
             for k in range(nchunks):
                 acc += p[:, k * f : (k + 1) * f]
-            o_ref[...] = acc
+            acc_ref[...] = acc
+
+            @pl.when(last)
+            def _write():
+                o_ref[...] = acc_ref[...]
 
         in_specs = [a_spec, pl.BlockSpec((tc, nchunks * f), h_index)]
         operands = (row, col, a, h_packed)
     else:
 
-        def kernel(row_ref, col_ref, a_ref, h_ref, o_ref):
-            _zero_guard(row_ref, o_ref)
+        def kernel(row_ref, col_ref, a_ref, h_ref, o_ref, acc_ref):
+            first, last = _run_bounds(row_ref)
+
+            @pl.when(first)
+            def _zero():
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+
             a_blk = a_ref[0]
             h_blk = h_ref[...]
             if a_blk.dtype != h_blk.dtype:
                 a_blk = a_blk.astype(h_blk.dtype)
-            o_ref[...] += jnp.dot(
+            acc_ref[...] += jnp.dot(
                 a_blk,
                 h_blk,
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
+
+            @pl.when(last)
+            def _write():
+                o_ref[...] = acc_ref[...]
 
         in_specs = [a_spec, h_spec]
         operands = (row, col, a, h)
@@ -163,6 +185,7 @@ def bcsr_spmm_pallas(
         grid=(num_t,),
         in_specs=in_specs,
         out_specs=out_spec,
+        scratch_shapes=scratch,
     )
 
     out = pl.pallas_call(
@@ -236,17 +259,19 @@ def gat_bcsr_pallas(
 
     fp = f + 1
 
+    num_tiles = a.shape[0]
+
     def kernel(
         row_ref, col_ref, a_ref, ad_ref, u1_ref, u2_ref, as_ref, hv_ref,
-        num_ref, den_ref,
+        num_ref, den_ref, acc_ref,
     ):
         i = pl.program_id(0)
         prev = row_ref[jnp.maximum(i - 1, 0)]
+        nxt = row_ref[jnp.minimum(i + 1, num_tiles - 1)]
 
         @pl.when((i == 0) | (row_ref[i] != prev))
         def _zero():
-            num_ref[...] = jnp.zeros_like(num_ref)
-            den_ref[...] = jnp.zeros_like(den_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
         cnt = a_ref[0].astype(jnp.float32)
         pos = (ad_ref[...] + as_ref[0]) > 0.0  # [tr,1]+[1,tc] -> [tr,tc]
@@ -262,9 +287,12 @@ def gat_bcsr_pallas(
         )
         p1c = p1[:, :fp] + p1[:, fp:]
         p2c = p2[:, :fp] + p2[:, fp:]
-        q = u1_ref[...] * p1c + u2_ref[...] * p2c
-        num_ref[...] += q[:, :f]
-        den_ref[...] += q[:, f:]
+        acc_ref[...] += u1_ref[...] * p1c + u2_ref[...] * p2c
+
+        @pl.when((i == num_tiles - 1) | (row_ref[i] != nxt))
+        def _write():
+            num_ref[...] = acc_ref[:, :f]
+            den_ref[...] = acc_ref[:, f:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -281,6 +309,7 @@ def gat_bcsr_pallas(
             pl.BlockSpec((tr, f), lambda i, row, col: (row[i], 0)),
             pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((tr, f + 1), jnp.float32)],
     )
 
     num, den = pl.pallas_call(
