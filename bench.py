@@ -34,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REDDIT_N, REDDIT_M = 232_965, 114_615_891
-BASELINE_EDGES_PER_S = 3 * REDDIT_M / 0.058089  # V100, draw_fig7.py:68
+BASELINE_EDGES_PER_S = 3 * REDDIT_M / 0.058089  # V100 GCN, draw_fig7.py:68
+BASELINE_GAT_EDGES_PER_S = 3 * REDDIT_M / 0.055538  # V100 GAT, draw_fig7.py:75
 
 
 def log(*a):
@@ -75,7 +76,7 @@ def build_gather(g, block_size):
     return plan
 
 
-def build_hybrid(g, n, m, threshold, tile_rows, residual_block):
+def build_hybrid(g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16"):
     """Degree-sorted hybrid aggregator, disk-cached (the tile extraction
     is an O(m log m) host pass — the reference caches its preprocessing
     the same way, src/data.cu:50-93)."""
@@ -85,14 +86,21 @@ def build_hybrid(g, n, m, threshold, tile_rows, residual_block):
     from gnn_computing_tpu.schedule.tiles import TilePlan
 
     tag = f"hybrid_n{n}_m{m}_t{threshold}_r{tile_rows}_b{residual_block}"
+    if tile_dtype != "bf16":
+        tag += f"_{tile_dtype}"
     path = os.path.join(_cache_dir(), tag + ".npz")
     if os.path.exists(path):
         log(f"loading cached hybrid plan {tag}")
         import ml_dtypes
 
         z = np.load(path)
+        a = (
+            z["a_u16"].view(ml_dtypes.bfloat16)
+            if "a_u16" in z
+            else z["a_i8"]
+        )
         tile = TilePlan(
-            a=z["a_u16"].view(ml_dtypes.bfloat16),
+            a=a,
             tile_col=z["tile_col"],
             tile_row=z["tile_row"],
             scale_dst=None,
@@ -135,12 +143,13 @@ def build_hybrid(g, n, m, threshold, tile_rows, residual_block):
     t0 = time.time()
     import ml_dtypes
 
+    dt = np.int8 if tile_dtype == "int8" else ml_dtypes.bfloat16
     agg = Aggregator.schedule_hybrid(
         g2,
         tile_rows=tile_rows,
         threshold=threshold,
         residual_block=residual_block,
-        tile_dtype=ml_dtypes.bfloat16,  # exact: unweighted integer counts
+        tile_dtype=dt,  # exact: unweighted integer counts
         with_transpose=False,
         device_put=False,
     )
@@ -148,9 +157,15 @@ def build_hybrid(g, n, m, threshold, tile_rows, residual_block):
         f"hybrid plan: {time.time() - t0:.1f}s  tiles={agg.tile.stats()} "
         f"residual={agg.plan.stats()}"
     )
+    a_np = np.asarray(agg.tile.a)
+    a_kw = (
+        {"a_i8": a_np}
+        if a_np.dtype == np.int8
+        else {"a_u16": a_np.view(np.uint16)}
+    )
     np.savez(
         path,
-        a_u16=np.asarray(agg.tile.a).view(np.uint16),
+        **a_kw,
         tile_col=agg.tile.tile_col,
         tile_row=agg.tile.tile_row,
         num_nodes=agg.num_nodes,
@@ -175,10 +190,12 @@ def main():
     ap.add_argument(
         "--strategy", default="hybrid", choices=["hybrid", "gather"]
     )
+    ap.add_argument("--model", default="gcn", choices=["gcn", "gat"])
     ap.add_argument("--block-size", type=int, default=32)
     ap.add_argument("--residual-block", type=int, default=8)
     ap.add_argument("--threshold", type=int, default=256)
     ap.add_argument("--tile-rows", type=int, default=256)
+    ap.add_argument("--tile-dtype", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -187,7 +204,12 @@ def main():
     from jax import lax
 
     from gnn_computing_tpu.graph.synthetic import normal_features
-    from gnn_computing_tpu.models import init_gcn_params, BENCH_DIMS
+    from gnn_computing_tpu.models import (
+        BENCH_DIMS,
+        init_gat_params,
+        init_gcn_params,
+    )
+    from gnn_computing_tpu.models.gat import gat_forward
     from gnn_computing_tpu.models.gcn import gcn_forward_bench
 
     n, m = (1 << 16, 1 << 22) if args.quick else (REDDIT_N, REDDIT_M)
@@ -195,12 +217,18 @@ def main():
 
     if args.strategy == "hybrid":
         sched = build_hybrid(
-            g, n, m, args.threshold, args.tile_rows, args.residual_block
+            g, n, m, args.threshold, args.tile_rows, args.residual_block,
+            tile_dtype=args.tile_dtype,
         ).device_put()
     else:
         sched = build_gather(g, args.block_size).device_put()
 
-    params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
+    if args.model == "gat":
+        params = init_gat_params(jax.random.key(0), BENCH_DIMS)
+        forward = gat_forward
+    else:
+        params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
+        forward = gcn_forward_bench
     h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)
 
     iters = args.iters
@@ -208,7 +236,7 @@ def main():
     @jax.jit
     def chained(sched, params, h):
         def body(i, acc):
-            out = gcn_forward_bench(sched, params, h)
+            out = forward(sched, params, h)
             return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
 
         return lax.fori_loop(0, iters, body, 0.0)
@@ -226,13 +254,20 @@ def main():
     log(f"forward: {best * 1e3:.2f} ms")
 
     edges_per_s = 3 * m / best
+    base = (
+        BASELINE_GAT_EDGES_PER_S
+        if args.model == "gat"
+        else BASELINE_EDGES_PER_S
+    )
     print(
         json.dumps(
             {
-                "metric": "gcn3_reddit_scale_edges_per_s_per_chip",
+                "metric": (
+                    f"{args.model}3_reddit_scale_edges_per_s_per_chip"
+                ),
                 "value": edges_per_s,
                 "unit": "edges/s",
-                "vs_baseline": edges_per_s / BASELINE_EDGES_PER_S,
+                "vs_baseline": edges_per_s / base,
             }
         )
     )

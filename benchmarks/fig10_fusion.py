@@ -71,20 +71,20 @@ def main():
 
         # ---- 10a adapter: fused attention scalars + separate weighted SpMM
         r_ad = benchmark_chained(
-            lambda p, x, a: gat_ops.gat_split_forward(
+            lambda x, p, a: gat_ops.gat_split_forward(
                 p, x, a, use_adapter=True
             ),
-            plan,
             h,
+            plan,
             att,
             iters=args.iters,
         )
 
         # ---- 10a fused: one computation
         r_f = benchmark_chained(
-            lambda p, x, a: gat_ops.gat_aggregate(p, x, a),
-            plan,
+            lambda x, p, a: gat_ops.gat_aggregate(p, x, a),
             h,
+            plan,
             att,
             iters=args.iters,
         )
@@ -116,9 +116,9 @@ def main():
         split_s = min(times)
 
         r_fused = benchmark_chained(
-            lambda p, x, ww: spmm_nn(p, x, ww)[1],
-            plan,
+            lambda x, p, ww: spmm_nn(p, x, ww)[1],
             h,
+            plan,
             w,
             iters=args.iters,
         )

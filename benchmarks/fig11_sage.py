@@ -37,9 +37,9 @@ def main():
         params = init_lstm_params(jax.random.key(0), f, f)
         for label, strat in STRATEGIES.items():
             r = benchmark_chained(
-                lambda p, xx, nb, s=strat: lstm_aggregate(p, xx, nb, s),
-                params,
+                lambda xx, p, nb, s=strat: lstm_aggregate(p, xx, nb, s),
                 x,
+                params,
                 nbr,
                 iters=args.iters,
             )

@@ -42,7 +42,8 @@ def main():
 
         gcn_params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
         r = benchmark_chained(
-            gcn_forward_bench, plan, gcn_params, h, iters=args.iters
+            lambda hh, p, w: gcn_forward_bench(p, w, hh),
+            h, plan, gcn_params, iters=args.iters,
         )
         common.emit(
             "fig7",
@@ -57,7 +58,8 @@ def main():
 
         gat_params = init_gat_params(jax.random.key(1), BENCH_DIMS)
         r = benchmark_chained(
-            gat_forward, plan, gat_params, h, iters=args.iters
+            lambda hh, p, w: gat_forward(p, w, hh),
+            h, plan, gat_params, iters=args.iters,
         )
         common.emit(
             "fig7",
@@ -80,9 +82,9 @@ def main():
             jax.random.key(2), BENCH_FEATURE_LEN, BENCH_FEATURE_LEN
         )
         r = benchmark_chained(
-            lambda p, xx, nb: lstm_aggregate(p, xx, nb, "redundancy_bypass"),
-            lstm,
+            lambda xx, p, nb: lstm_aggregate(p, xx, nb, "redundancy_bypass"),
             x,
+            lstm,
             nbr,
             iters=args.iters,
         )

@@ -34,7 +34,7 @@ def main():
             ("base", nop_plan(g).device_put()),
             ("NG", neighbor_grouping_plan(g, args.nei).device_put()),
         ):
-            r = benchmark_chained(spmm_xla, plan, h, iters=args.iters)
+            r = benchmark_chained(lambda hh, p: spmm_xla(p, hh), h, plan, iters=args.iters)
             occ = plan.stats()["slot_occupancy"]
             common.emit(
                 "fig8",

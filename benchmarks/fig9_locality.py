@@ -52,15 +52,15 @@ def main():
                 else None
             )
             r = benchmark_chained(
-                lambda t, p, x: hybrid_spmm(t, None, p, None, x),
+                lambda x, t, p: hybrid_spmm(t, None, p, None, x),
+                h,
                 tpd,
                 rp,
-                h,
                 iters=args.iters,
             )
             base_plan = neighbor_grouping_plan(g2, args.nei).device_put()
             rb = benchmark_chained(
-                spmm_xla, base_plan, h, iters=args.iters
+                lambda x, p: spmm_xla(p, x), h, base_plan, iters=args.iters
             )
             common.emit(
                 "fig9",

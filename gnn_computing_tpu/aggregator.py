@@ -101,6 +101,11 @@ class Aggregator:
         locality schedule + reorder, SURVEY.md §7)."""
         import numpy as _np
 
+        if tile_dtype is not None:
+            # dtype goes INTO densify: integer dtypes trigger the
+            # overflow-spill path there (counts beyond the int range move
+            # to the residual)
+            densify_kw.setdefault("dtype", tile_dtype)
         tile, res = densify(
             g,
             val=val,
@@ -109,8 +114,6 @@ class Aggregator:
             threshold=threshold,
             **densify_kw,
         )
-        if tile_dtype is not None:
-            tile = tile.astype(tile_dtype)
         plan = make_plan(
             res, Schedule.neighbor_grouping, block_size=residual_block
         )

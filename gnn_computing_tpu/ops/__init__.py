@@ -21,6 +21,7 @@ from gnn_computing_tpu.ops.bcsr import (
     bcsr_spmm_xla,
     hybrid_spmm,
 )
+from gnn_computing_tpu.ops.bcsr_gat import gat_bcsr, hybrid_gat
 from gnn_computing_tpu.ops.edge_mlp import edge_mlp
 from gnn_computing_tpu.ops.fused_nn import spmm_nn
 from gnn_computing_tpu.ops.lstm import (
@@ -48,6 +49,8 @@ __all__ = [
     "bcsr_spmm",
     "bcsr_spmm_xla",
     "hybrid_spmm",
+    "gat_bcsr",
+    "hybrid_gat",
     "edge_mlp",
     "spmm_nn",
     "LSTMParams",

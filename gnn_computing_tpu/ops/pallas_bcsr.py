@@ -30,6 +30,21 @@ from gnn_computing_tpu.schedule.tiles import TilePlan
 _PALLAS_OK = None
 
 
+def bf16_residue_chunks(x: jnp.ndarray, n: int) -> list:
+    """Decompose f32 ``x`` into ``n`` bf16 chunks with sum(chunks) == x to
+    n*8 mantissa bits.  MUST go through lax.reduce_precision: a plain
+    ``x.astype(bf16).astype(f32)`` round-trip is deleted by XLA's
+    excess-precision pass under jit (the rounding is the whole point), which
+    silently degenerates the decomposition to [x, 0, 0]."""
+    chunks = []
+    rem = x
+    for _ in range(n):
+        c = lax.reduce_precision(rem, exponent_bits=8, mantissa_bits=7)
+        chunks.append(c.astype(jnp.bfloat16))
+        rem = rem - c
+    return chunks
+
+
 def _tpu_available() -> bool:
     global _PALLAS_OK
     if _PALLAS_OK is None:
@@ -89,7 +104,8 @@ def bcsr_spmm_pallas(
     if h_mode == "auto":
         h_mode = (
             "split3"
-            if h.dtype == jnp.float32 and a.dtype == jnp.bfloat16
+            if h.dtype == jnp.float32
+            and a.dtype in (jnp.bfloat16, jnp.int8)
             else "native"
         )
 
@@ -122,12 +138,7 @@ def bcsr_spmm_pallas(
 
     if h_mode in ("split", "split3"):
         nchunks = 2 if h_mode == "split" else 3
-        chunks = []
-        rem = h
-        for _ in range(nchunks):
-            c = rem.astype(jnp.bfloat16)
-            chunks.append(c)
-            rem = rem - c.astype(jnp.float32)
+        chunks = bf16_residue_chunks(h, nchunks)
         # pack residue chunks side by side: ONE [tc, nchunks*f] block per
         # step (one DMA, one wide MXU dot) instead of nchunks operands
         h_packed = jnp.concatenate(chunks, axis=1)
@@ -139,8 +150,11 @@ def bcsr_spmm_pallas(
             def _zero():
                 acc_ref[...] = jnp.zeros_like(acc_ref)
 
+            a_blk = a_ref[0]
+            if a_blk.dtype != h_ref.dtype:  # int8 count tiles upcast free
+                a_blk = a_blk.astype(h_ref.dtype)
             p = jnp.dot(
-                a_ref[0], h_ref[...], preferred_element_type=jnp.float32
+                a_blk, h_ref[...], preferred_element_type=jnp.float32
             )
             acc = acc_ref[...]
             for k in range(nchunks):
@@ -242,9 +256,7 @@ def gat_bcsr_pallas(
     # 1e-2 gate; plain bf16 rounding of the products fails it on
     # cancellation-heavy rows): [tc, 4*(f+1)]
     def split2(x):
-        hi = x.astype(jnp.bfloat16)
-        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, lo
+        return bf16_residue_chunks(x, 2)
 
     b1 = jnp.concatenate([hp * v1, v1], axis=1)
     b2 = jnp.concatenate([hp * v2, v2], axis=1)

@@ -211,11 +211,40 @@ def densify(
     if scale_src is not None:
         tile_val = tile_val / np.asarray(scale_src, np.float32)[src[edge_dense]]
 
+    de_src = src[edge_dense]
+    de_dst = dst[edge_dense]
+    flat = tile_of_edge * (tr * tc) + (de_dst % tr) * tc + (de_src % tc)
+
+    # Integer tile dtypes store exact edge COUNTS with a bounded range
+    # (int8: 127); cells whose multiplicity exceeds the cap spill the
+    # excess duplicate edges back to the residual gather path.
+    int_cap = None
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        assert np.allclose(tile_val, 1.0), (
+            "integer tile dtypes hold edge counts — only valid for "
+            "unweighted/unit-valued graphs"
+        )
+        int_cap = int(np.iinfo(dtype).max)
+        order = np.argsort(flat, kind="stable")
+        sf = flat[order]
+        _, first, counts_per_cell = np.unique(
+            sf, return_index=True, return_counts=True
+        )
+        rank = np.arange(len(sf)) - np.repeat(first, counts_per_cell)
+        spill_sorted = rank >= int_cap
+        if spill_sorted.any():
+            spill = np.zeros(len(flat), bool)
+            spill[order] = spill_sorted
+            # demote spilled duplicates: flip their dense flag
+            dense_idx = np.flatnonzero(edge_dense)
+            edge_dense[dense_idx[spill]] = False
+            keep = ~spill
+            de_src, de_dst = de_src[keep], de_dst[keep]
+            flat = flat[keep]
+            tile_val = tile_val[keep]
+
     a = np.zeros((max(num_tiles, 0), tr, tc), np.float32)
     if num_tiles:
-        de_src = src[edge_dense]
-        de_dst = dst[edge_dense]
-        flat = tile_of_edge * (tr * tc) + (de_dst % tr) * tc + (de_src % tc)
         np.add.at(a.reshape(-1), flat, tile_val)
 
     num_dense_edges = int(edge_dense.sum())

@@ -59,41 +59,67 @@ def benchmark(
 
 
 def benchmark_chained(
-    fn: Callable, *args, iters: int = 10, reps: int = 3
+    fn: Callable, *args, iters: int = 8, reps: int = 2
 ) -> BenchResult:
     """Per-iteration time of ``fn(*args)`` with the iterations CHAINED
-    inside one jitted fori_loop and a scalar fetch.
+    inside one jitted fori_loop, a LOOP-CARRIED DEPENDENCE, and a two-point
+    iteration-count fit.
 
-    Through a remote-dispatch tunnel (axon) per-call host timing is
-    dominated by ~ms dispatch+fetch overhead; chaining amortizes it away
-    (the technique behind every number in PERF_NOTES.md).  ``fn`` must
-    return a JAX array; a data dependence on its first element keeps the
-    loop body alive under DCE.
+    Two hazards this construction defeats (both observed on the axon
+    tunnel, PERF_NOTES.md):
+      * XLA hoists loop-INVARIANT bodies out of while loops — a fori that
+        recomputes fn(*invariant args) measures ONE call divided by iters.
+        The first array argument is therefore perturbed each step by a
+        tiny function of the output (1e-30 * out, numerically nil but not
+        foldable).
+      * Per-call host timing through the tunnel carries ~tens-of-ms
+        dispatch+fetch overhead; timing (2*iters) and (iters) chains and
+        taking the slope cancels it exactly.
+
+    ``fn`` must return a JAX array; args[0] must be a float array.
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def chained(*a):
-        def body(i, acc):
-            out = fn(*a)
-            return acc + out.astype(jnp.float32).ravel()[0] * 1e-9
+    def chained_factory(n):
+        @jax.jit
+        def chained(*a):
+            def body(i, first):
+                out = fn(first, *a[1:])
+                fb = (out.astype(jnp.float32).ravel()[0] * 1e-30).astype(
+                    first.dtype
+                )
+                return first + fb
 
-        return lax.fori_loop(0, iters, body, 0.0)
+            return lax.fori_loop(0, n, body, a[0]).ravel()[0]
 
+        return chained
+
+    c1 = chained_factory(iters)
+    c2 = chained_factory(2 * iters)
     t0 = time.perf_counter()
-    float(chained(*args))
+    float(c1(*args))
+    float(c2(*args))
     compile_s = time.perf_counter() - t0
-    times = []
+    # Difference min-of-reps, not per-rep pairs: per-rep slopes go negative
+    # when dispatch jitter exceeds the (small-problem) loop-body time.
+    t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(chained(*args))
-        times.append((time.perf_counter() - t0) / iters)
+        float(c1(*args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(c2(*args))
+        t2s.append(time.perf_counter() - t0)
+    slope = (min(t2s) - min(t1s)) / iters
+    if slope <= 0:  # noise floor: fall back to the overhead-inclusive bound
+        slope = min(t2s) / (2 * iters)
+    mean = max((sum(t2s) - sum(t1s)) / len(t1s) / iters, slope)
     return BenchResult(
-        mean_s=sum(times) / len(times),
-        min_s=min(times),
-        max_s=max(times),
+        mean_s=mean,
+        min_s=slope,
+        max_s=max(t2s) / (2 * iters),
         iters=iters * reps,
         compile_s=compile_s,
     )

@@ -95,3 +95,23 @@ def test_generators_deterministic(gen):
     g2 = gen(100, 500, seed=42)
     np.testing.assert_array_equal(g1.indices, g2.indices)
     np.testing.assert_array_equal(g1.indptr, g2.indptr)
+
+
+def test_plan_and_tile_cost_models():
+    """utils.profiling analytic cost models (Fig8/Fig9 analog diagnostics)."""
+    from gnn_computing_tpu.graph.synthetic import rmat_graph
+    from gnn_computing_tpu.schedule import neighbor_grouping_plan
+    from gnn_computing_tpu.schedule.tiles import densify
+    from gnn_computing_tpu.utils.profiling import plan_cost, tile_cost
+
+    g = rmat_graph(512, 4096, seed=1, with_val=False)
+    plan = neighbor_grouping_plan(g, 16)
+    c = plan_cost(plan, 64)
+    assert c["valid_edges"] == g.num_edges
+    assert 0 < c["slot_occupancy"] <= 1
+    assert c["flops"] == 2 * g.num_edges * 64
+
+    tp, _ = densify(g, tile_rows=64, tile_cols=64, threshold=4)
+    t = tile_cost(tp, 64)
+    assert t["edges_covered"] == tp.num_dense_edges
+    assert t["a_bytes"] > 0 and t["bytes_per_edge"] > 0

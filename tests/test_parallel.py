@@ -102,3 +102,38 @@ def test_ring_plan_stats(small_rmat):
     s = ring.stats()
     assert s["edges"] == small_rmat.num_edges
     assert 0 <= s["local_edge_fraction"] <= 1
+
+
+def test_feature_axis_tensor_parallel(small_rmat):
+    """TP: shard the dense-layer weight on the feature axis of a
+    graph x feature mesh; matches the unsharded computation (SURVEY.md
+    §2e tensor-parallel row)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gnn_computing_tpu.parallel.mesh import make_mesh
+    from gnn_computing_tpu.ops.spmm import spmm_xla
+    from gnn_computing_tpu.schedule import neighbor_grouping_plan
+
+    g = small_rmat
+    mesh = make_mesh(num_graph=4, num_feature=2)
+    plan = neighbor_grouping_plan(g, 8).device_put()
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+
+    want = spmm_xla(plan, h @ w)
+
+    w_sharded = jax.device_put(
+        w, NamedSharding(mesh, P(None, "feature"))
+    )
+    h_repl = jax.device_put(h, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def fwd(plan, h, w):
+        return spmm_xla(plan, h @ w)
+
+    got = fwd(plan, h_repl, w_sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

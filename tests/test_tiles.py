@@ -228,3 +228,28 @@ def test_hybrid_gcn_via_aggregator_grad():
     )
     gr = jax.grad(lambda x: jnp.sum(agg.run(x) ** 2))(h)
     assert np.isfinite(np.asarray(gr)).all()
+
+
+def test_int8_tiles_overflow_spill():
+    """int8 count tiles: cells with multiplicity > 127 spill the excess
+    duplicates to the residual; hybrid result stays exact."""
+    # graph with a single hot cell: 200 duplicate edges 0<-1 plus noise
+    dst = np.concatenate([np.zeros(200, np.int64), [1, 2, 3] * 4])
+    src = np.concatenate([np.ones(200, np.int64), [0, 1, 2] * 4]).astype(
+        np.int32
+    )
+    from gnn_computing_tpu.graph.csr import CSRGraph
+
+    g = CSRGraph.from_edges(dst, src, 8)
+    tp, res = densify(g, tile_rows=8, tile_cols=8, threshold=1, dtype=np.int8)
+    assert np.asarray(tp.a).max() == 127
+    assert tp.num_dense_edges + res.num_edges == g.num_edges
+    assert res.num_edges >= 200 - 127
+    h = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 16)).astype(np.float32)
+    )
+    plan = neighbor_grouping_plan(res, 4)
+    got = hybrid_spmm(tp, None, plan, None, h, "xla")
+    np.testing.assert_allclose(
+        got, spmm_dense(g, np.asarray(h)), rtol=1e-4, atol=1e-4
+    )
