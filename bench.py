@@ -193,9 +193,11 @@ def main():
     ap.add_argument("--model", default="gcn", choices=["gcn", "gat"])
     ap.add_argument("--block-size", type=int, default=32)
     ap.add_argument("--residual-block", type=int, default=8)
-    ap.add_argument("--threshold", type=int, default=256)
+    # defaults = the measured-best single-chip config (int8 count tiles,
+    # threshold 96): 35.3 ms / 1.65x the V100 GCN baseline at reddit scale
+    ap.add_argument("--threshold", type=int, default=96)
     ap.add_argument("--tile-rows", type=int, default=256)
-    ap.add_argument("--tile-dtype", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 

@@ -25,6 +25,7 @@ the UN-stabilized reference form so partial denominators are commensurate.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -151,6 +152,48 @@ def gat_bcsr(
     return gat_bcsr_xla(tp, h, att, relu_slope)
 
 
+def _hybrid_gat_impl(tp, plan, h, att, relu_slope, strategy):
+    num, den = gat_bcsr(tp, h, att, relu_slope, strategy)
+    if plan is not None and plan.num_edges:
+        nr, dr, _ = gat_aggregate_parts(
+            plan, h, att, relu_slope=relu_slope, stabilize=False
+        )
+        num = num + nr
+        den = den + dr
+    safe = jnp.where(den == 0.0, 1.0, den)
+    return (num / safe[:, None]).astype(h.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _hybrid_gat(tp, plan, h, att, relu_slope, strategy):
+    return _hybrid_gat_impl(tp, plan, h, att, relu_slope, strategy)
+
+
+def _hybrid_gat_fwd(tp, plan, h, att, relu_slope, strategy):
+    return _hybrid_gat_impl(tp, plan, h, att, relu_slope, strategy), (
+        tp,
+        plan,
+        h,
+        att,
+    )
+
+
+def _hybrid_gat_bwd(relu_slope, strategy, res, ct):
+    # Differentiate the pure-XLA formulation (scan + scatter-add — fully
+    # AD-able); the Pallas forward kernel itself is not differentiable.
+    tp, plan, h, att = res
+    _, vjp = jax.vjp(
+        lambda hh, aa: _hybrid_gat_impl(tp, plan, hh, aa, relu_slope, "xla"),
+        h,
+        att,
+    )
+    dh, datt = vjp(ct)
+    return (None, None, dh, datt)
+
+
+_hybrid_gat.defvjp(_hybrid_gat_fwd, _hybrid_gat_bwd)
+
+
 def hybrid_gat(
     tp: TilePlan,
     plan: Optional[AggregationPlan],
@@ -163,16 +206,10 @@ def hybrid_gat(
 
     Requires count tiles (unweighted densification) — attention provides
     the edge weights.  Residual part uses the un-stabilized reference form
-    so the partial softmax denominators merge exactly."""
+    (aggr_gat.h:167-213) so the partial softmax denominators merge exactly.
+    Differentiable in (h, att): backward re-derives the VJP through the XLA
+    formulation regardless of the forward strategy."""
     assert tp.scale_dst is None and tp.scale_src is None, (
         "hybrid GAT needs raw count tiles (no factored scales)"
     )
-    num, den = gat_bcsr(tp, h, att, relu_slope, strategy)
-    if plan is not None and plan.num_edges:
-        nr, dr, _ = gat_aggregate_parts(
-            plan, h, att, relu_slope=relu_slope, stabilize=False
-        )
-        num = num + nr
-        den = den + dr
-    safe = jnp.where(den == 0.0, 1.0, den)
-    return (num / safe[:, None]).astype(h.dtype)
+    return _hybrid_gat(tp, plan, h, att, relu_slope, strategy)

@@ -213,19 +213,39 @@ def bcsr_spmm_pallas(
     return out.astype(out_dtype)
 
 
+
 def gat_bcsr_pallas(
     tp: TilePlan,
     h: jnp.ndarray,
     att: jnp.ndarray,
     relu_slope: float = 0.2,
+    mode: str = "twodot",
 ):
     """Factored fused-GAT over dense tiles (see ops/bcsr_gat.py for the
-    math).  Per grid step: one broadcast-compare builds the branch
-    indicator, two MXU dots against packed pre-scaled operands produce the
-    numerator AND the softmax denominator (packed as an extra column);
-    per-destination branch exponentials apply as row post-scales in VMEM.
-    Outputs (numerator [n, f], denominator [n, 1]) accumulate across each
-    tile-row run exactly like the GCN kernel."""
+    math).  Returns (numerator [n, f], denominator [n]) accumulated across
+    each tile-row run exactly like the GCN kernel.
+
+    Both modes keep the packed MXU operand width a multiple of 128 lanes
+    (measured: a 258-wide operand pads to 384 and costs ~27% per tile) by
+    computing the softmax DENOMINATOR as an in-kernel VPU row-reduction of
+    the scored tile instead of packing a denominator column into the dot.
+
+    mode='twodot' (default): one broadcast-compare builds the branch
+    indicator; per branch b, an exact-bf16 masked count tile multiplies the
+    [tc, 2f] packed operand split2(v_b * h); per-destination exponentials
+    u_b apply as row post-scales.  Tile entries stay EXACT (integer counts)
+    — all rounding is the 16-bit split of v*h products.
+
+    mode='merged' (~25% faster, looser): fold branch 2 into the tile via
+    the rank-1 rescale
+        score = u1[i] v1[j] * (z > 0 ? cnt : cnt * q[i] r[j]),
+        q = u2/u1 = exp((s-1) ad),  r = v2/v1 = exp((s-1) as),
+    so ONE dot against split2(v1 * h) suffices.  Branch-2 tile entries are
+    bf16-rounded and branch magnitudes mix inside one f32 accumulation —
+    fine for small attention logits (|z| <~ 1), can exceed the 1e-2 gate
+    for wide ones.  Like the reference's unstabilized exp
+    (aggr_gat.h:116-164), large |z| overflows — same exposure class.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -240,96 +260,155 @@ def gat_bcsr_pallas(
         return jnp.pad(x, p)
 
     ad = pad_to(att[:, 0].astype(jnp.float32), nrt * tr)[:, None]
+    asv = pad_to(att[:, 1].astype(jnp.float32), nct * tc)
     # [nct, 1, tc] so the (1, 1, tc) block's last two dims match the array
-    asrc = pad_to(att[:, 1].astype(jnp.float32), nct * tc).reshape(
-        nct, 1, tc
-    )
+    asrc = asv.reshape(nct, 1, tc)
     u1 = jnp.exp(ad)
     u2 = jnp.exp(relu_slope * ad)
     hp = pad_to(h.astype(jnp.float32), nct * tc)
-    v1 = jnp.exp(pad_to(att[:, 1].astype(jnp.float32), nct * tc))[:, None]
-    v2 = jnp.exp(relu_slope * pad_to(att[:, 1].astype(jnp.float32), nct * tc))[
-        :, None
-    ]
-    # packed operand per column tile: branch products (v*h | v) each split
-    # into 2 bf16 residue chunks (16 mantissa bits — exact enough for the
-    # 1e-2 gate; plain bf16 rounding of the products fails it on
-    # cancellation-heavy rows): [tc, 4*(f+1)]
-    def split2(x):
-        return bf16_residue_chunks(x, 2)
+    v1 = jnp.exp(asv)[:, None]
+    v2 = jnp.exp(relu_slope * asv)[:, None]
+    v1b = v1.reshape(nct, 1, tc)
+    v2b = v2.reshape(nct, 1, tc)
 
-    b1 = jnp.concatenate([hp * v1, v1], axis=1)
-    b2 = jnp.concatenate([hp * v2, v2], axis=1)
-    b1_hi, b1_lo = split2(b1)
-    b2_hi, b2_lo = split2(b2)
-    hv = jnp.concatenate([b1_hi, b1_lo, b2_hi, b2_lo], axis=1)
+    # packed [tc, 2f] operand(s): v_b*h split into 2 bf16 residue chunks
+    # (16 mantissa bits; single-chunk bf16 rounding fails the 1e-2 gate on
+    # cancellation-heavy rows)
+    hv1 = jnp.concatenate(bf16_residue_chunks(hp * v1, 2), axis=1)
 
     a = jnp.asarray(tp.a)
     num_t = a.shape[0]
     row = jnp.asarray(tp.tile_row)
     col = jnp.asarray(tp.tile_col)
 
-    fp = f + 1
-
-    num_tiles = a.shape[0]
-
-    def kernel(
-        row_ref, col_ref, a_ref, ad_ref, u1_ref, u2_ref, as_ref, hv_ref,
-        num_ref, den_ref, acc_ref,
-    ):
+    def run_bounds(row_ref):
         i = pl.program_id(0)
         prev = row_ref[jnp.maximum(i - 1, 0)]
-        nxt = row_ref[jnp.minimum(i + 1, num_tiles - 1)]
+        nxt = row_ref[jnp.minimum(i + 1, num_t - 1)]
+        first = (i == 0) | (row_ref[i] != prev)
+        last = (i == num_t - 1) | (row_ref[i] != nxt)
+        return first, last
 
-        @pl.when((i == 0) | (row_ref[i] != prev))
+    a_spec = pl.BlockSpec((1, tr, tc), lambda i, row, col: (i, 0, 0))
+    rowb = lambda i, row, col: (row[i], 0)
+    colb = lambda i, row, col: (col[i], 0, 0)
+    row_spec = pl.BlockSpec((tr, 1), rowb)
+    col_spec = pl.BlockSpec((1, 1, tc), colb)
+    hv_spec = pl.BlockSpec((tc, 2 * f), lambda i, row, col: (col[i], 0))
+    out_specs = [
+        pl.BlockSpec((tr, f), rowb),
+        pl.BlockSpec((tr, 1), rowb),
+    ]
+    scratch = [
+        pltpu.VMEM((tr, f), jnp.float32),
+        pltpu.VMEM((tr, 1), jnp.float32),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
+        jax.ShapeDtypeStruct((nrt * tr, 1), jnp.float32),
+    ]
+
+    if mode == "merged":
+        q = u2 / u1
+        r = (v2 / v1).reshape(nct, 1, tc)
+
+        def kernel(
+            row_ref, col_ref, a_ref, ad_ref, u1_ref, q_ref, as_ref, r_ref,
+            v1_ref, hv_ref, num_ref, den_ref, accn_ref, accd_ref,
+        ):
+            first, last = run_bounds(row_ref)
+
+            @pl.when(first)
+            def _zero():
+                accn_ref[...] = jnp.zeros_like(accn_ref)
+                accd_ref[...] = jnp.zeros_like(accd_ref)
+
+            cnt = a_ref[0].astype(jnp.float32)
+            z = ad_ref[...] + as_ref[0]  # [tr,1]+[1,tc] -> [tr,tc]
+            a_m = jnp.where(z > 0.0, cnt, cnt * (q_ref[...] * r_ref[0]))
+            p = jnp.dot(
+                a_m.astype(jnp.bfloat16),
+                hv_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            accn_ref[...] += u1_ref[...] * (p[:, :f] + p[:, f:])
+            # denominator: VPU row-reduction of the scored tile (exact f32)
+            accd_ref[...] += u1_ref[...] * jnp.sum(
+                a_m * v1_ref[0], axis=1, keepdims=True
+            )
+
+            @pl.when(last)
+            def _write():
+                num_ref[...] = accn_ref[...]
+                den_ref[...] = accd_ref[...]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_t,),
+            in_specs=[
+                a_spec, row_spec, row_spec, row_spec,
+                col_spec, col_spec, col_spec, hv_spec,
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        num, den = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape
+        )(row, col, a, ad, u1, q, asrc, r, v1b, hv1)
+        return num[: tp.num_nodes], den[: tp.num_nodes, 0]
+
+    hv2 = jnp.concatenate(bf16_residue_chunks(hp * v2, 2), axis=1)
+
+    def kernel(
+        row_ref, col_ref, a_ref, ad_ref, u1_ref, u2_ref, as_ref,
+        v1_ref, v2_ref, hv1_ref, hv2_ref, num_ref, den_ref,
+        accn_ref, accd_ref,
+    ):
+        first, last = run_bounds(row_ref)
+
+        @pl.when(first)
         def _zero():
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+            accn_ref[...] = jnp.zeros_like(accn_ref)
+            accd_ref[...] = jnp.zeros_like(accd_ref)
 
         cnt = a_ref[0].astype(jnp.float32)
-        pos = (ad_ref[...] + as_ref[0]) > 0.0  # [tr,1]+[1,tc] -> [tr,tc]
-        a1 = jnp.where(pos, cnt, 0.0).astype(jnp.bfloat16)
-        a2 = jnp.where(pos, 0.0, cnt).astype(jnp.bfloat16)
-        # branch 1 hits the (v1*h | v1) chunks, branch 2 the v2 chunks;
-        # each branch's two residue chunks reconstruct the f32 products
+        z = ad_ref[...] + as_ref[0]
+        pos = z > 0.0
+        a1 = jnp.where(pos, cnt, 0.0)
+        a2 = cnt - a1
         p1 = jnp.dot(
-            a1, hv_ref[:, : 2 * fp], preferred_element_type=jnp.float32
+            a1.astype(jnp.bfloat16),
+            hv1_ref[...],
+            preferred_element_type=jnp.float32,
         )
         p2 = jnp.dot(
-            a2, hv_ref[:, 2 * fp :], preferred_element_type=jnp.float32
+            a2.astype(jnp.bfloat16),
+            hv2_ref[...],
+            preferred_element_type=jnp.float32,
         )
-        p1c = p1[:, :fp] + p1[:, fp:]
-        p2c = p2[:, :fp] + p2[:, fp:]
-        acc_ref[...] += u1_ref[...] * p1c + u2_ref[...] * p2c
+        accn_ref[...] += u1_ref[...] * (p1[:, :f] + p1[:, f:]) + u2_ref[
+            ...
+        ] * (p2[:, :f] + p2[:, f:])
+        accd_ref[...] += u1_ref[...] * jnp.sum(
+            a1 * v1_ref[0], axis=1, keepdims=True
+        ) + u2_ref[...] * jnp.sum(a2 * v2_ref[0], axis=1, keepdims=True)
 
-        @pl.when((i == num_tiles - 1) | (row_ref[i] != nxt))
+        @pl.when(last)
         def _write():
-            num_ref[...] = acc_ref[:, :f]
-            den_ref[...] = acc_ref[:, f:]
+            num_ref[...] = accn_ref[...]
+            den_ref[...] = accd_ref[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_t,),
         in_specs=[
-            pl.BlockSpec((1, tr, tc), lambda i, row, col: (i, 0, 0)),
-            pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
-            pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
-            pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
-            pl.BlockSpec((1, 1, tc), lambda i, row, col: (col[i], 0, 0)),
-            pl.BlockSpec((tc, 4 * (f + 1)), lambda i, row, col: (col[i], 0)),
+            a_spec, row_spec, row_spec, row_spec,
+            col_spec, col_spec, col_spec, hv_spec, hv_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((tr, f), lambda i, row, col: (row[i], 0)),
-            pl.BlockSpec((tr, 1), lambda i, row, col: (row[i], 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((tr, f + 1), jnp.float32)],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-
     num, den = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
-            jax.ShapeDtypeStruct((nrt * tr, 1), jnp.float32),
-        ],
-    )(row, col, a, ad, u1, u2, asrc, hv)
+        kernel, grid_spec=grid_spec, out_shape=out_shape
+    )(row, col, a, ad, u1, u2, asrc, v1b, v2b, hv1, hv2)
     return num[: tp.num_nodes], den[: tp.num_nodes, 0]

@@ -272,6 +272,28 @@ def cmd_train(args):
     print(json.dumps({"final_loss": float(lval), "epochs": args.epochs}))
 
 
+def cmd_tune(args):
+    from gnn_computing_tpu.utils.autotune import tune
+
+    g, _ = _load(args)
+    r = tune(
+        g,
+        feature_len=args.feature_len,
+        iters=args.iters,
+        weighted=g.val is not None,
+    )
+    print(
+        json.dumps(
+            {
+                "best": r.best_config,
+                "table": [
+                    {**cfg, "seconds": t} for cfg, t in r.table
+                ],
+            }
+        )
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="gnn_computing_tpu",
@@ -315,6 +337,11 @@ def main(argv=None):
         choices=["redundancy_bypass", "sparse_fetch", "materialize"],
     )
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("tune")
+    _add_common(p)
+    p.add_argument("--iters", type=int, default=4)
+    p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("train")
     _add_common(p)

@@ -137,3 +137,94 @@ def test_feature_axis_tensor_parallel(small_rmat):
 
     got = fwd(plan, h_repl, w_sharded)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@needs_8
+@pytest.mark.parametrize("d", [2, 4])
+def test_ring_hybrid_matches_dense(small_rmat, d):
+    """Distributed hybrid (BCSR tiles + residual gather on one ring)."""
+    from gnn_computing_tpu.parallel.ring_tiles import (
+        build_ring_hybrid,
+        ring_hybrid_spmm,
+    )
+
+    g = small_rmat
+    mesh = make_mesh(num_graph=d)
+    rtp, ring, gp = build_ring_hybrid(
+        g, d, tile_rows=16, tile_cols=16, threshold=2, residual_block=8
+    )
+    assert rtp.num_dense_edges > 0 and ring.num_edges > 0
+    assert rtp.num_dense_edges + ring.num_edges == g.num_edges
+    rtp = rtp.device_put(shard_ring_plan(mesh))
+    ring = ring.device_put(shard_ring_plan(mesh))
+    h = normal_features(gp.num_nodes, 16, seed=4)
+    hs = jax.device_put(jnp.asarray(h), shard_rows(mesh))
+    out = np.asarray(
+        jax.jit(lambda t, r, x: ring_hybrid_spmm(mesh, t, r, x))(rtp, ring, hs)
+    )
+    assert_valid(out, ref.spmm_dense(gp, h), what=f"ring_hybrid d={d}")
+
+
+@needs_8
+def test_ring_hybrid_gcn_forward(small_rmat):
+    from gnn_computing_tpu.parallel.ring_tiles import (
+        build_ring_hybrid,
+        ring_hybrid_gcn_forward,
+    )
+
+    d = 4
+    mesh = make_mesh(num_graph=d)
+    rtp, ring, gp = build_ring_hybrid(
+        small_rmat, d, tile_rows=16, tile_cols=16, threshold=2
+    )
+    rtp = rtp.device_put(shard_ring_plan(mesh))
+    ring = ring.device_put(shard_ring_plan(mesh))
+    dims = (24, 16, 8)
+    params = init_gcn_params(jax.random.key(0), dims)
+    h = normal_features(gp.num_nodes, dims[0], seed=5) * 0.1
+    hs = jax.device_put(jnp.asarray(h), shard_rows(mesh))
+    out = np.asarray(
+        jax.jit(lambda p, x: ring_hybrid_gcn_forward(mesh, rtp, ring, p, x))(
+            params, hs
+        )
+    )
+    a = ref.dense_adjacency(gp)
+    x = h.astype(np.float64)
+    for i, w in enumerate(params):
+        x = a @ (x @ np.asarray(w, np.float64))
+        if i < len(params) - 1:
+            x = np.maximum(x, 0.0)
+    assert_valid(out, x, what="ring hybrid gcn fwd")
+
+
+@needs_8
+def test_ring_hybrid_gat_matches_dense(small_rmat):
+    """Distributed fused GAT over the hybrid ring vs the f64 oracle."""
+    from gnn_computing_tpu.parallel.ring_tiles import (
+        build_ring_hybrid,
+        ring_hybrid_gat,
+    )
+    from gnn_computing_tpu.ops.reference import gat_aggregate_dense
+
+    from gnn_computing_tpu.graph.synthetic import rmat_graph
+
+    d = 4
+    # GAT needs raw COUNT tiles: attention supplies the edge weights
+    g = rmat_graph(200, 2000, seed=7, with_val=False)
+    mesh = make_mesh(num_graph=d)
+    rtp, ring, gp = build_ring_hybrid(
+        g, d, tile_rows=16, tile_cols=16, threshold=2
+    )
+    rtp = rtp.device_put(shard_ring_plan(mesh))
+    ring = ring.device_put(shard_ring_plan(mesh))
+    h = normal_features(gp.num_nodes, 16, seed=6)
+    att = normal_features(gp.num_nodes, 2, seed=7) * 0.3
+    hs = jax.device_put(jnp.asarray(h), shard_rows(mesh))
+    ats = jax.device_put(jnp.asarray(att), shard_rows(mesh))
+    out = np.asarray(
+        jax.jit(lambda t, r, x, a: ring_hybrid_gat(mesh, t, r, x, a))(
+            rtp, ring, hs, ats
+        )
+    )
+    want, _, _ = gat_aggregate_dense(gp, h, att[:, 0], att[:, 1])
+    assert_valid(out, want, what="ring hybrid gat")

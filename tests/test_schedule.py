@@ -106,3 +106,24 @@ def test_stats(small_rmat):
     assert s["num_edges"] == small_rmat.num_edges
     assert 0 < s["slot_occupancy"] <= 1.0
     assert s["max_task"] <= 16
+
+
+def test_autotune_picks_a_schedule():
+    """utils.autotune sweeps gather + hybrid configs and returns a working
+    Aggregator (the reference's external --nei sweep as a first-class API)."""
+    import jax.numpy as jnp
+    from gnn_computing_tpu.graph.synthetic import rmat_graph
+    from gnn_computing_tpu.ops.reference import spmm_dense
+    from gnn_computing_tpu.ops.validate import assert_valid
+    from gnn_computing_tpu.utils.autotune import tune
+
+    g = rmat_graph(512, 4096, seed=11, with_val=False)
+    r = tune(g, feature_len=16, iters=2)
+    assert r.best_config["strategy"] in ("gather", "hybrid")
+    assert len(r.table) >= 4
+    import numpy as np
+
+    h = jnp.asarray(
+        np.random.default_rng(1).normal(size=(512, 16)).astype(np.float32)
+    )
+    assert_valid(np.asarray(r.best.run(h)), spmm_dense(g, h), what="tuned agg")

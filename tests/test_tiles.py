@@ -253,3 +253,30 @@ def test_int8_tiles_overflow_spill():
     np.testing.assert_allclose(
         got, spmm_dense(g, np.asarray(h)), rtol=1e-4, atol=1e-4
     )
+
+
+def test_hybrid_gat_grad_matches_gather_path():
+    """hybrid GAT custom VJP: gradients w.r.t. (h, att) match the plain
+    gather-path GAT gradients (same math, different schedule)."""
+    from gnn_computing_tpu.aggregator import Aggregator
+    from gnn_computing_tpu.ops.gat import gat_aggregate
+
+    g = rmat_graph(400, 3000, seed=27, with_val=False)
+    agg = Aggregator.schedule_hybrid(
+        g, tile_rows=64, tile_cols=64, threshold=4, with_transpose=False
+    )
+    full_plan = neighbor_grouping_plan(g, 8).device_put()
+    rng = np.random.default_rng(28)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 16)).astype(np.float32))
+    att = jnp.asarray(rng.normal(size=(g.num_nodes, 2)).astype(np.float32) * 0.1)
+
+    def loss_hybrid(h, att):
+        return jnp.sum(agg.run_gat(h, att) ** 2)
+
+    def loss_gather(h, att):
+        return jnp.sum(gat_aggregate(full_plan, h, att) ** 2)
+
+    gh1, ga1 = jax.grad(loss_hybrid, argnums=(0, 1))(h, att)
+    gh2, ga2 = jax.grad(loss_gather, argnums=(0, 1))(h, att)
+    np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2), rtol=1e-3, atol=1e-3)
