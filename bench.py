@@ -76,7 +76,7 @@ def build_gather(g, block_size):
     return plan
 
 
-def build_hybrid(g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16"):
+def build_hybrid(g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16", pack=8):
     """Degree-sorted hybrid aggregator, disk-cached (the tile extraction
     is an O(m log m) host pass — the reference caches its preprocessing
     the same way, src/data.cu:50-93)."""
@@ -99,6 +99,7 @@ def build_hybrid(g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16
             if "a_u16" in z
             else z["a_i8"]
         )
+        # cache stores the unpadded plan; pad runs for the pack-K kernel
         tile = TilePlan(
             a=a,
             tile_col=z["tile_col"],
@@ -133,7 +134,7 @@ def build_hybrid(g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16
             num_nodes=int(z["num_nodes"]),
             n_src=int(z["n_src"]),
             num_edges=m,
-            tile=tile,
+            tile=tile.pad_runs(pack),
             tile_t=None,
         )
 
@@ -152,6 +153,7 @@ def build_hybrid(g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16
         tile_dtype=dt,  # exact: unweighted integer counts
         with_transpose=False,
         device_put=False,
+        pack=1,  # cache stores the unpadded plan; padded at load
     )
     log(
         f"hybrid plan: {time.time() - t0:.1f}s  tiles={agg.tile.stats()} "
@@ -198,6 +200,7 @@ def main():
     ap.add_argument("--threshold", type=int, default=96)
     ap.add_argument("--tile-rows", type=int, default=256)
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
+    ap.add_argument("--pack", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -220,7 +223,7 @@ def main():
     if args.strategy == "hybrid":
         sched = build_hybrid(
             g, n, m, args.threshold, args.tile_rows, args.residual_block,
-            tile_dtype=args.tile_dtype,
+            tile_dtype=args.tile_dtype, pack=args.pack,
         ).device_put()
     else:
         sched = build_gather(g, args.block_size).device_put()

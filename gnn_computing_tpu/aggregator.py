@@ -93,6 +93,7 @@ class Aggregator:
         tile_dtype=None,
         with_transpose: bool = True,
         device_put: bool = True,
+        pack: int = 8,
         **densify_kw,
     ) -> "Aggregator":
         """Hybrid MXU-densified schedule: dense adjacency tiles on the
@@ -121,12 +122,15 @@ class Aggregator:
         plan_t = None
         edge_map = None
         if with_transpose:
-            tile_t = tile.transpose()
+            tile_t = tile.transpose().pad_runs(pack)
             gt, edge_map = res.transpose_with_map()
             plan_t = make_plan(
                 gt, Schedule.neighbor_grouping, block_size=residual_block
             )
             edge_map = edge_map.astype(_np.int32)
+        # pad tile-row runs to multiples of `pack` so the Pallas kernel can
+        # process K tiles per grid step (amortizing per-step fixed cost)
+        tile = tile.pad_runs(pack)
         agg = cls(
             plan=plan,
             plan_t=plan_t,

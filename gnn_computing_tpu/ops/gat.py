@@ -64,10 +64,14 @@ def gat_aggregate_parts(
     two-phase reference design accumulates before scaleArray
     (aggr_gat.h:167-213).  Exposed so hybrid (dense-tile + residual)
     aggregation can merge partial sums before the final division."""
+    # NOTE: a single packed gather [h | att_src] was measured WORSE here:
+    # the gathered array feeds two consumers (score and message), so XLA
+    # materializes the [m, f+1] intermediate in HBM (8.8 GB at reddit
+    # scale -> OOM).  Two takes keep both fused.
     mask = plan.slot_mask()
+    dst = jnp.asarray(plan.dst)
     z = _att_slots(plan, att)
     z = leaky_relu(z, relu_slope)
-    dst = jnp.asarray(plan.dst)
     if stabilize:
         task_max = jnp.max(jnp.where(mask, z, -jnp.inf), axis=1)
         row_max = jax.ops.segment_max(

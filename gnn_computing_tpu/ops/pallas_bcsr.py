@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from gnn_computing_tpu.schedule.tiles import TilePlan
@@ -72,11 +73,29 @@ def preferred(tp: TilePlan, h) -> bool:
     return supported(tp, h)
 
 
+def detect_pack(tile_row, candidates=(8, 4, 2)) -> int:
+    """Largest K for which every tile-row run's length is a multiple of K
+    (i.e. the plan went through TilePlan.pad_runs(K)); 1 otherwise."""
+    import numpy as _np
+
+    rows = _np.asarray(tile_row)
+    if len(rows) == 0:
+        return 1
+    change = _np.flatnonzero(rows[1:] != rows[:-1]) + 1
+    bounds = _np.concatenate([[0], change, [len(rows)]])
+    lens = _np.diff(bounds)
+    for k in candidates:
+        if len(rows) % k == 0 and (lens % k == 0).all():
+            return int(k)
+    return 1
+
+
 def bcsr_spmm_pallas(
     tp: TilePlan,
     h: jnp.ndarray,
     precision=lax.Precision.HIGHEST,
     h_mode: str = "auto",
+    pack: int = None,
 ) -> jnp.ndarray:
     """h_mode:
       'auto'   — 'split3' for f32 h with bf16 tiles, else 'native'.
@@ -88,6 +107,8 @@ def bcsr_spmm_pallas(
       'native' — single dot in the operand dtype; f32 operands run at
                  ``precision`` (HIGHEST: Mosaic only lowers
                  DEFAULT/HIGHEST), bf16 operands multiply exactly.
+    pack: K tiles per grid step (plan must come from TilePlan.pad_runs(K));
+      None auto-detects from the run lengths.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -118,95 +139,104 @@ def bcsr_spmm_pallas(
     num_t = a.shape[0]
     row = jnp.asarray(tp.tile_row)
     col = jnp.asarray(tp.tile_col)
-
-    # Accumulate each tile-row run in a VMEM scratch and write the output
-    # block ONCE at run end — reading o_ref back per step costs a measured
-    # ~20% in HBM round-trips (PERF_NOTES.md).
-    def _run_bounds(row_ref):
-        i = pl.program_id(0)
-        prev = row_ref[jnp.maximum(i - 1, 0)]
-        nxt = row_ref[jnp.minimum(i + 1, num_t - 1)]
-        first = (i == 0) | (row_ref[i] != prev)
-        last = (i == num_t - 1) | (row_ref[i] != nxt)
-        return first, last
-
-    h_index = lambda i, row, col: (col[i], 0)
-    a_spec = pl.BlockSpec((1, tr, tc), lambda i, row, col: (i, 0, 0))
-    h_spec = pl.BlockSpec((tc, f), h_index)
-    out_spec = pl.BlockSpec((tr, f), lambda i, row, col: (row[i], 0))
-    scratch = [pltpu.VMEM((tr, f), jnp.float32)]
+    if pack is None:
+        # static metadata set by TilePlan.pad_runs; detect_pack only for
+        # plans built outside the standard path (concrete arrays only)
+        pack = getattr(tp, "pack", 1) or 1
+        if pack == 1 and isinstance(tp.tile_row, np.ndarray):
+            pack = detect_pack(tp.tile_row)
+    assert num_t % pack == 0
 
     if h_mode in ("split", "split3"):
         nchunks = 2 if h_mode == "split" else 3
         chunks = bf16_residue_chunks(h, nchunks)
         # pack residue chunks side by side: ONE [tc, nchunks*f] block per
         # step (one DMA, one wide MXU dot) instead of nchunks operands
-        h_packed = jnp.concatenate(chunks, axis=1)
-
-        def kernel(row_ref, col_ref, a_ref, h_ref, o_ref, acc_ref):
-            first, last = _run_bounds(row_ref)
-
-            @pl.when(first)
-            def _zero():
-                acc_ref[...] = jnp.zeros_like(acc_ref)
-
-            a_blk = a_ref[0]
-            if a_blk.dtype != h_ref.dtype:  # int8 count tiles upcast free
-                a_blk = a_blk.astype(h_ref.dtype)
-            p = jnp.dot(
-                a_blk, h_ref[...], preferred_element_type=jnp.float32
-            )
-            acc = acc_ref[...]
-            for k in range(nchunks):
-                acc += p[:, k * f : (k + 1) * f]
-            acc_ref[...] = acc
-
-            @pl.when(last)
-            def _write():
-                o_ref[...] = acc_ref[...]
-
-        in_specs = [a_spec, pl.BlockSpec((tc, nchunks * f), h_index)]
-        operands = (row, col, a, h_packed)
+        h_op = jnp.concatenate(chunks, axis=1)
+        w = nchunks * f
     else:
+        nchunks = 1
+        h_op = h
+        w = f
 
-        def kernel(row_ref, col_ref, a_ref, h_ref, o_ref, acc_ref):
-            first, last = _run_bounds(row_ref)
+    K = pack
+    steps = num_t // K
 
-            @pl.when(first)
-            def _zero():
-                acc_ref[...] = jnp.zeros_like(acc_ref)
+    # Accumulate each tile-row run in a VMEM scratch and write the output
+    # block ONCE at run end — reading o_ref back per step costs a measured
+    # ~20% in HBM round-trips.  With pack K, K tiles (same destination run,
+    # guaranteed by TilePlan.pad_runs) process per grid step: the ~180-300ns
+    # per-step fixed cost amortizes K-fold (measured: 454 -> 175 ns/tile at
+    # K=8, PERF_NOTES.md).
+    def kernel(row_ref, col_ref, a_ref, *refs):
+        h_refs = refs[:K]
+        o_ref = refs[K]
+        acc_ref = refs[K + 1]
+        i = pl.program_id(0)
+        first = (i == 0) | (
+            row_ref[K * i] != row_ref[jnp.maximum(K * i - 1, 0)]
+        )
+        last = (i == steps - 1) | (
+            row_ref[K * i + K - 1]
+            != row_ref[jnp.minimum(K * i + K, num_t - 1)]
+        )
 
-            a_blk = a_ref[0]
-            h_blk = h_ref[...]
-            if a_blk.dtype != h_blk.dtype:
+        @pl.when(first)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def one(k):
+            a_blk = a_ref[k]
+            h_blk = h_refs[k][...]
+            if a_blk.dtype != h_blk.dtype:  # int8 count tiles upcast free
                 a_blk = a_blk.astype(h_blk.dtype)
-            acc_ref[...] += jnp.dot(
+            # Mosaic rejects non-DEFAULT precision on bf16 operands ("Bad
+            # lhs type"); precision only applies to native-f32 dots.
+            kw = (
+                {"precision": precision}
+                if h_blk.dtype == jnp.float32
+                else {}
+            )
+            return jnp.dot(
                 a_blk,
                 h_blk,
                 preferred_element_type=jnp.float32,
-                precision=precision,
+                **kw,
             )
 
-            @pl.when(last)
-            def _write():
-                o_ref[...] = acc_ref[...]
+        p = one(0)
+        for k in range(1, K):
+            p += one(k)
+        acc = acc_ref[...]
+        for k in range(nchunks):
+            acc += p[:, k * f : (k + 1) * f]
+        acc_ref[...] = acc
 
-        in_specs = [a_spec, h_spec]
-        operands = (row, col, a, h)
+        @pl.when(last)
+        def _write():
+            o_ref[...] = acc_ref[...]
+
+    def h_index(k):
+        return lambda i, row, col: (col[K * i + k], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_t,),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        scratch_shapes=scratch,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((K, tr, tc), lambda i, row, col: (i, 0, 0))
+        ]
+        + [pl.BlockSpec((tc, w), h_index(k)) for k in range(K)],
+        out_specs=pl.BlockSpec(
+            (tr, f), lambda i, row, col: (row[K * i], 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((tr, f), jnp.float32)],
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
-    )(*operands)
+    )(row, col, a, *([h_op] * K))
     out = out[: tp.num_nodes]
     if tp.scale_dst is not None:
         out = out * jnp.asarray(tp.scale_dst)[:, None]
@@ -220,6 +250,7 @@ def gat_bcsr_pallas(
     att: jnp.ndarray,
     relu_slope: float = 0.2,
     mode: str = "twodot",
+    pack: int = None,
 ):
     """Factored fused-GAT over dense tiles (see ops/bcsr_gat.py for the
     math).  Returns (numerator [n, f], denominator [n]) accumulated across
@@ -281,20 +312,36 @@ def gat_bcsr_pallas(
     row = jnp.asarray(tp.tile_row)
     col = jnp.asarray(tp.tile_col)
 
-    def run_bounds(row_ref):
-        i = pl.program_id(0)
-        prev = row_ref[jnp.maximum(i - 1, 0)]
-        nxt = row_ref[jnp.minimum(i + 1, num_t - 1)]
-        first = (i == 0) | (row_ref[i] != prev)
-        last = (i == num_t - 1) | (row_ref[i] != nxt)
+    K = pack if pack is not None else (getattr(tp, "pack", 1) or 1)
+    assert num_t % K == 0
+    steps = num_t // K
+
+    # Within a grid step all K tiles share one destination run (pad_runs
+    # contract), so the row-side blocks (ad/u/q) are fetched ONCE per step.
+    def bounds(row_ref, i):
+        first = (i == 0) | (
+            row_ref[K * i] != row_ref[jnp.maximum(K * i - 1, 0)]
+        )
+        last = (i == steps - 1) | (
+            row_ref[K * i + K - 1]
+            != row_ref[jnp.minimum(K * i + K, num_t - 1)]
+        )
         return first, last
 
-    a_spec = pl.BlockSpec((1, tr, tc), lambda i, row, col: (i, 0, 0))
-    rowb = lambda i, row, col: (row[i], 0)
-    colb = lambda i, row, col: (col[i], 0, 0)
+    a_spec = pl.BlockSpec((K, tr, tc), lambda i, row, col: (i, 0, 0))
+    rowb = lambda i, row, col: (row[K * i], 0)
     row_spec = pl.BlockSpec((tr, 1), rowb)
-    col_spec = pl.BlockSpec((1, 1, tc), colb)
-    hv_spec = pl.BlockSpec((tc, 2 * f), lambda i, row, col: (col[i], 0))
+
+    def col_spec(k):
+        return pl.BlockSpec(
+            (1, 1, tc), lambda i, row, col: (col[K * i + k], 0, 0)
+        )
+
+    def hv_spec(k):
+        return pl.BlockSpec(
+            (tc, 2 * f), lambda i, row, col: (col[K * i + k], 0)
+        )
+
     out_specs = [
         pl.BlockSpec((tr, f), rowb),
         pl.BlockSpec((tr, 1), rowb),
@@ -312,30 +359,40 @@ def gat_bcsr_pallas(
         q = u2 / u1
         r = (v2 / v1).reshape(nct, 1, tc)
 
-        def kernel(
-            row_ref, col_ref, a_ref, ad_ref, u1_ref, q_ref, as_ref, r_ref,
-            v1_ref, hv_ref, num_ref, den_ref, accn_ref, accd_ref,
-        ):
-            first, last = run_bounds(row_ref)
+        def kernel(row_ref, col_ref, a_ref, ad_ref, u1_ref, q_ref, *refs):
+            as_refs = refs[:K]
+            r_refs = refs[K : 2 * K]
+            v1_refs = refs[2 * K : 3 * K]
+            hv_refs = refs[3 * K : 4 * K]
+            num_ref, den_ref, accn_ref, accd_ref = refs[4 * K :]
+            i = pl.program_id(0)
+            first, last = bounds(row_ref, i)
 
             @pl.when(first)
             def _zero():
                 accn_ref[...] = jnp.zeros_like(accn_ref)
                 accd_ref[...] = jnp.zeros_like(accd_ref)
 
-            cnt = a_ref[0].astype(jnp.float32)
-            z = ad_ref[...] + as_ref[0]  # [tr,1]+[1,tc] -> [tr,tc]
-            a_m = jnp.where(z > 0.0, cnt, cnt * (q_ref[...] * r_ref[0]))
-            p = jnp.dot(
-                a_m.astype(jnp.bfloat16),
-                hv_ref[...],
-                preferred_element_type=jnp.float32,
-            )
-            accn_ref[...] += u1_ref[...] * (p[:, :f] + p[:, f:])
-            # denominator: VPU row-reduction of the scored tile (exact f32)
-            accd_ref[...] += u1_ref[...] * jnp.sum(
-                a_m * v1_ref[0], axis=1, keepdims=True
-            )
+            accn = accn_ref[...]
+            accd = accd_ref[...]
+            for k in range(K):
+                cnt = a_ref[k].astype(jnp.float32)
+                z = ad_ref[...] + as_refs[k][0]  # [tr,1]+[1,tc]
+                a_m = jnp.where(
+                    z > 0.0, cnt, cnt * (q_ref[...] * r_refs[k][0])
+                )
+                p = jnp.dot(
+                    a_m.astype(jnp.bfloat16),
+                    hv_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                )
+                accn += u1_ref[...] * (p[:, :f] + p[:, f:])
+                # denominator: VPU row-reduction of the scored tile
+                accd += u1_ref[...] * jnp.sum(
+                    a_m * v1_refs[k][0], axis=1, keepdims=True
+                )
+            accn_ref[...] = accn
+            accd_ref[...] = accd
 
             @pl.when(last)
             def _write():
@@ -344,54 +401,68 @@ def gat_bcsr_pallas(
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_t,),
-            in_specs=[
-                a_spec, row_spec, row_spec, row_spec,
-                col_spec, col_spec, col_spec, hv_spec,
-            ],
+            grid=(steps,),
+            in_specs=[a_spec, row_spec, row_spec, row_spec]
+            + [col_spec(k) for k in range(K)]
+            + [col_spec(k) for k in range(K)]
+            + [col_spec(k) for k in range(K)]
+            + [hv_spec(k) for k in range(K)],
             out_specs=out_specs,
             scratch_shapes=scratch,
         )
         num, den = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape
-        )(row, col, a, ad, u1, q, asrc, r, v1b, hv1)
+        )(
+            row, col, a, ad, u1, q,
+            *([asrc] * K), *([r] * K), *([v1b] * K), *([hv1] * K),
+        )
         return num[: tp.num_nodes], den[: tp.num_nodes, 0]
 
     hv2 = jnp.concatenate(bf16_residue_chunks(hp * v2, 2), axis=1)
 
-    def kernel(
-        row_ref, col_ref, a_ref, ad_ref, u1_ref, u2_ref, as_ref,
-        v1_ref, v2_ref, hv1_ref, hv2_ref, num_ref, den_ref,
-        accn_ref, accd_ref,
-    ):
-        first, last = run_bounds(row_ref)
+    def kernel(row_ref, col_ref, a_ref, ad_ref, u1_ref, u2_ref, *refs):
+        as_refs = refs[:K]
+        v1_refs = refs[K : 2 * K]
+        v2_refs = refs[2 * K : 3 * K]
+        hv1_refs = refs[3 * K : 4 * K]
+        hv2_refs = refs[4 * K : 5 * K]
+        num_ref, den_ref, accn_ref, accd_ref = refs[5 * K :]
+        i = pl.program_id(0)
+        first, last = bounds(row_ref, i)
 
         @pl.when(first)
         def _zero():
             accn_ref[...] = jnp.zeros_like(accn_ref)
             accd_ref[...] = jnp.zeros_like(accd_ref)
 
-        cnt = a_ref[0].astype(jnp.float32)
-        z = ad_ref[...] + as_ref[0]
-        pos = z > 0.0
-        a1 = jnp.where(pos, cnt, 0.0)
-        a2 = cnt - a1
-        p1 = jnp.dot(
-            a1.astype(jnp.bfloat16),
-            hv1_ref[...],
-            preferred_element_type=jnp.float32,
-        )
-        p2 = jnp.dot(
-            a2.astype(jnp.bfloat16),
-            hv2_ref[...],
-            preferred_element_type=jnp.float32,
-        )
-        accn_ref[...] += u1_ref[...] * (p1[:, :f] + p1[:, f:]) + u2_ref[
-            ...
-        ] * (p2[:, :f] + p2[:, f:])
-        accd_ref[...] += u1_ref[...] * jnp.sum(
-            a1 * v1_ref[0], axis=1, keepdims=True
-        ) + u2_ref[...] * jnp.sum(a2 * v2_ref[0], axis=1, keepdims=True)
+        accn = accn_ref[...]
+        accd = accd_ref[...]
+        for k in range(K):
+            cnt = a_ref[k].astype(jnp.float32)
+            z = ad_ref[...] + as_refs[k][0]
+            pos = z > 0.0
+            a1 = jnp.where(pos, cnt, 0.0)
+            a2 = cnt - a1
+            p1 = jnp.dot(
+                a1.astype(jnp.bfloat16),
+                hv1_refs[k][...],
+                preferred_element_type=jnp.float32,
+            )
+            p2 = jnp.dot(
+                a2.astype(jnp.bfloat16),
+                hv2_refs[k][...],
+                preferred_element_type=jnp.float32,
+            )
+            accn += u1_ref[...] * (p1[:, :f] + p1[:, f:]) + u2_ref[
+                ...
+            ] * (p2[:, :f] + p2[:, f:])
+            accd += u1_ref[...] * jnp.sum(
+                a1 * v1_refs[k][0], axis=1, keepdims=True
+            ) + u2_ref[...] * jnp.sum(
+                a2 * v2_refs[k][0], axis=1, keepdims=True
+            )
+        accn_ref[...] = accn
+        accd_ref[...] = accd
 
         @pl.when(last)
         def _write():
@@ -400,15 +471,21 @@ def gat_bcsr_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_t,),
-        in_specs=[
-            a_spec, row_spec, row_spec, row_spec,
-            col_spec, col_spec, col_spec, hv_spec, hv_spec,
-        ],
+        grid=(steps,),
+        in_specs=[a_spec, row_spec, row_spec, row_spec]
+        + [col_spec(k) for k in range(K)]
+        + [col_spec(k) for k in range(K)]
+        + [col_spec(k) for k in range(K)]
+        + [hv_spec(k) for k in range(K)]
+        + [hv_spec(k) for k in range(K)],
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
     num, den = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape
-    )(row, col, a, ad, u1, u2, asrc, v1b, v2b, hv1, hv2)
+    )(
+        row, col, a, ad, u1, u2,
+        *([asrc] * K), *([v1b] * K), *([v2b] * K),
+        *([hv1] * K), *([hv2] * K),
+    )
     return num[: tp.num_nodes], den[: tp.num_nodes, 0]

@@ -46,6 +46,7 @@ from gnn_computing_tpu.graph.csr import CSRGraph
         "tile_cols",
         "num_tiles",
         "num_dense_edges",
+        "pack",
     ],
 )
 @dataclasses.dataclass
@@ -74,6 +75,8 @@ class TilePlan:
     tile_cols: int
     num_tiles: int
     num_dense_edges: int
+    # run-length multiple guaranteed by pad_runs (K tiles per Pallas step)
+    pack: int = 1
 
     @property
     def num_row_tiles(self) -> int:
@@ -103,6 +106,46 @@ class TilePlan:
 
     def astype(self, dtype) -> "TilePlan":
         return dataclasses.replace(self, a=self.a.astype(dtype))
+
+    def pad_runs(self, multiple: int) -> "TilePlan":
+        """Pad every tile-row run with all-zero tiles so each run's length
+        is a multiple of ``multiple`` — the layout contract of the
+        pack-K Pallas kernel (K tiles per grid step; a step must never
+        straddle two destination runs).  Zero tiles use column 0 and
+        contribute nothing.  Typical overhead at reddit scale (runs of
+        ~50-80 tiles): <10% for multiple=8."""
+        if multiple <= 1:
+            return self
+        rows = np.asarray(self.tile_row)
+        cols = np.asarray(self.tile_col)
+        a = np.asarray(self.a)
+        segs = []
+        i = 0
+        while i < len(rows):
+            j = i
+            while j < len(rows) and rows[j] == rows[i]:
+                j += 1
+            segs.append((i, j))
+            i = j
+        na, nr, nc = [], [], []
+        for i, j in segs:
+            na.append(a[i:j])
+            nr.append(rows[i:j])
+            nc.append(cols[i:j])
+            rem = (j - i) % multiple
+            if rem:
+                pad = multiple - rem
+                na.append(np.zeros((pad,) + a.shape[1:], a.dtype))
+                nr.append(np.repeat(rows[i:i+1], pad))
+                nc.append(np.zeros(pad, np.int32))
+        return dataclasses.replace(
+            self,
+            a=np.concatenate(na) if na else a,
+            tile_row=np.concatenate(nr).astype(np.int32) if nr else rows,
+            tile_col=np.concatenate(nc).astype(np.int32) if nc else cols,
+            num_tiles=int(sum(len(x) for x in nr)) if nr else 0,
+            pack=multiple,
+        )
 
     def transpose(self) -> "TilePlan":
         """Tile plan of the transposed matrix A^T (for backward
