@@ -17,9 +17,11 @@ MXU tile densification + gather residual (schedule/tiles.py + ops/bcsr.py)
 Baseline: the authors' measured V100 time 0.058089 s/forward
 (draw_fig7.py:68) => 3*114.6M/0.0581 ~= 5.92e9 aggregated edges/s.
 
-Timing: forwards chained inside one jit (fori_loop) with a scalar fetch —
-dispatch through the axon tunnel costs ~ms per call (PERF_NOTES.md), so
-per-call host timing would swamp the measurement.  Plans are passed as jit
+Timing: forwards chained inside one jit with a LOOP-CARRIED dependence and
+a two-point iteration fit (utils.timing.benchmark_chained).  A naive fori
+over invariant args gets the whole forward hoisted out by XLA and reports
+one-forward/iters — this bench shipped that bug until 2026-08-16; numbers
+before the fix are ~iters-fold optimistic.  Plans are passed as jit
 ARGUMENTS (closing over them would bake GB-scale constants into the HLO).
 """
 
@@ -196,11 +198,19 @@ def main():
     ap.add_argument("--block-size", type=int, default=32)
     ap.add_argument("--residual-block", type=int, default=8)
     # defaults = the measured-best single-chip config (int8 count tiles,
-    # threshold 96): 35.3 ms / 1.65x the V100 GCN baseline at reddit scale
+    # threshold 96, pack 8)
     ap.add_argument("--threshold", type=int, default=96)
     ap.add_argument("--tile-rows", type=int, default=256)
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
     ap.add_argument("--pack", type=int, default=8)
+    ap.add_argument(
+        "--residual-dtype", default="f32",
+        choices=["f32", "f16", "bf16", "bf16_split2"],
+        help="residual gather mode. f32 = exact (default, passes the 1e-2 "
+        "gate with zero bad elements); f16 = 1.7x faster rows, ~0.6%% "
+        "elements exceed the gate at reddit scale; bf16 = fast but ~5%% "
+        "exceed; bf16_split2 = 16-bit reconstruction, no speed win.",
+    )
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -228,34 +238,40 @@ def main():
     else:
         sched = build_gather(g, args.block_size).device_put()
 
+    rdt = {
+        "f32": None,
+        "f16": jnp.float16,
+        "bf16": jnp.bfloat16,
+        "bf16_split2": "bf16_split2",
+    }[args.residual_dtype]
     if args.model == "gat":
         params = init_gat_params(jax.random.key(0), BENCH_DIMS)
         forward = gat_forward
     else:
         params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
-        forward = gcn_forward_bench
+        forward = lambda s, p, hh: gcn_forward_bench(
+            s, p, hh, residual_gather_dtype=rdt
+        )
     h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)
 
-    iters = args.iters
-
-    @jax.jit
-    def chained(sched, params, h):
-        def body(i, acc):
-            out = forward(sched, params, h)
-            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
-
-        return lax.fori_loop(0, iters, body, 0.0)
+    # Loop-carried chained timing (utils.timing.benchmark_chained): the
+    # naive fori with invariant args gets the ENTIRE forward hoisted out of
+    # the loop by XLA, silently reporting one-forward/iters (verified:
+    # iters=1/2/8 all took the same wall time).  The harness perturbs h
+    # each step and fits the slope of (2*iters) vs (iters) chains.
+    from gnn_computing_tpu.utils.timing import benchmark_chained
 
     log("compiling + warmup...")
-    t0 = time.time()
-    float(chained(sched, params, h))
-    log(f"first call: {time.time() - t0:.1f}s")
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(chained(sched, params, h))
-        best = min(best, (time.time() - t0) / iters)
+    r = benchmark_chained(
+        lambda hh, s, p: forward(s, p, hh),
+        h,
+        sched,
+        params,
+        iters=args.iters,
+        reps=3,
+    )
+    log(f"first call: {r.compile_s:.1f}s")
+    best = r.min_s
     log(f"forward: {best * 1e3:.2f} ms")
 
     edges_per_s = 3 * m / best

@@ -169,7 +169,12 @@ class Aggregator:
 
     # ------------------------------------------------------------------ ops
     def run(
-        self, h: jnp.ndarray, val=None, val_t=None, strategy: str = "auto"
+        self,
+        h: jnp.ndarray,
+        val=None,
+        val_t=None,
+        strategy: str = "auto",
+        residual_gather_dtype=None,
     ) -> jnp.ndarray:
         """Weighted SpMM aggregation (reference Aggregator_GCN::run,
         aggr_gcn.h:411-460).  With a transposed plan available, backward
@@ -188,7 +193,13 @@ class Aggregator:
                 else None
             )
             return hybrid_spmm(
-                self.tile, self.tile_t, plan, plan_t, h, strategy
+                self.tile,
+                self.tile_t,
+                plan,
+                plan_t,
+                h,
+                strategy,
+                residual_gather_dtype,
             )
         if self.plan_t is not None:
             if val is None and self.plan_t.val is not None:

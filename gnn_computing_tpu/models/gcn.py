@@ -27,12 +27,18 @@ def gcn_layer(
     val=None,
     activation=jax.nn.relu,
     strategy: str = "auto",
+    residual_gather_dtype=None,
 ) -> jnp.ndarray:
     """``plan`` is an AggregationPlan or an Aggregator (including the
     hybrid MXU-densified kind, aggregator.schedule_hybrid)."""
     z = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
     if hasattr(plan, "run"):
-        z = plan.run(z, strategy=strategy)
+        kw = (
+            {"residual_gather_dtype": residual_gather_dtype}
+            if getattr(plan, "tile", None) is not None
+            else {}
+        )
+        z = plan.run(z, strategy=strategy, **kw)
     else:
         z = spmm(plan, z, val=val, strategy=strategy)
     return activation(z) if activation is not None else z
@@ -72,9 +78,13 @@ def gcn_forward_bench(
     params: Sequence[jnp.ndarray],
     h: jnp.ndarray,
     strategy: str = "auto",
+    residual_gather_dtype=None,
 ) -> jnp.ndarray:
     """Exact reference benchmark semantics: ReLU after every layer
     (our.py:252-255 applies gcn_layer_ours, which ends in relu, 3x)."""
     for w in params:
-        h = gcn_layer(plan, h, w, activation=jax.nn.relu, strategy=strategy)
+        h = gcn_layer(
+            plan, h, w, activation=jax.nn.relu, strategy=strategy,
+            residual_gather_dtype=residual_gather_dtype,
+        )
     return h

@@ -89,30 +89,51 @@ def _resolve_val(plan: AggregationPlan, val) -> jnp.ndarray:
 
 # ------------------------------------------------------------- XLA strategies
 def weighted_task_sums(
-    plan: AggregationPlan, h: jnp.ndarray, v: jnp.ndarray
+    plan: AggregationPlan, h: jnp.ndarray, v: jnp.ndarray,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """[nt, f] per-task weighted sums: sum_b v[t,b] * h[src[t,b]].
 
-    Written in the exact form XLA fuses end-to-end on TPU (measured: 1.06
-    Ge/s vs 0.28 for the einsum form, see PERF_NOTES.md): a FLAT row gather
-    multiplied elementwise, reshaped, and reduced — no [nt, B, f] HBM
-    intermediate, no edge-granular scatter.
+    Written in the exact form XLA fuses end-to-end on TPU: a FLAT row
+    gather multiplied elementwise, reshaped, and reduced — no [nt, B, f]
+    HBM intermediate, no edge-granular scatter.
+
+    gather_dtype: the gather is row-issue-bound and WIDTH-INDEPENDENT, and
+    bf16 rows issue 1.7x faster than f32 (PERF_NOTES.md).  Options:
+      None           — gather h as-is (f32: exact, slowest).
+      'bf16_split2'  — gather ONE [n, 2f] bf16 table of split2 residue
+                       chunks and reconstruct hi+lo in f32: the 1.7x bf16
+                       row rate at 16-mantissa-bit accuracy (~6e-6 rel —
+                       plain bf16 rounding fails the 1e-2 gate, measured
+                       1.2% bad elements).
+      a dtype        — gather h cast to that dtype (bf16: fast, ~0.4%
+                       rounding; fails the strict gate on cancellation).
     """
     nt, b = plan.src.shape
     f = h.shape[-1]
     src_flat = jnp.asarray(plan.src).reshape(-1)
-    v_flat = v.reshape(-1).astype(h.dtype)
-    msg = jnp.take(h, src_flat, axis=0) * v_flat[:, None]
-    return msg.reshape(nt, b, f).sum(axis=1)
+    if gather_dtype == "bf16_split2":
+        from gnn_computing_tpu.ops.pallas_bcsr import bf16_residue_chunks
+
+        hi, lo = bf16_residue_chunks(h.astype(jnp.float32), 2)
+        hh = jnp.concatenate([hi, lo], axis=1)  # [n, 2f] bf16
+        g = jnp.take(hh, src_flat, axis=0)
+        rec = g[:, :f].astype(jnp.float32) + g[:, f:].astype(jnp.float32)
+        msg = rec * v.reshape(-1).astype(jnp.float32)[:, None]
+        return msg.reshape(nt, b, f).sum(axis=1, dtype=h.dtype)
+    hh = h.astype(gather_dtype) if gather_dtype is not None else h
+    v_flat = v.reshape(-1).astype(hh.dtype)
+    msg = jnp.take(hh, src_flat, axis=0) * v_flat[:, None]
+    return msg.reshape(nt, b, f).sum(axis=1, dtype=h.dtype)
 
 
 def spmm_xla(
-    plan: AggregationPlan, h: jnp.ndarray, val=None
+    plan: AggregationPlan, h: jnp.ndarray, val=None, gather_dtype=None
 ) -> jnp.ndarray:
     """Fused gather -> per-task weighted reduce -> one task-level segment-sum
     (the deterministic TPU replacement for atomicAdd, aggr_gcn.h:78-114)."""
     v = _resolve_val(plan, val)
-    task = weighted_task_sums(plan, h, v)
+    task = weighted_task_sums(plan, h, v, gather_dtype=gather_dtype)
     return jax.ops.segment_sum(
         task,
         jnp.asarray(plan.dst),

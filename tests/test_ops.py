@@ -186,3 +186,26 @@ def test_validators():
     yref = np.arange(4, dtype=float)[:, None] * np.ones((1, 3))
     yre = yref[perm]
     assert valid_reordered(yre, yref, perm)
+
+
+def test_spmm_gather_dtype_modes():
+    """Residual gather dtype modes: f32 exact; bf16_split2 ~16-bit;
+    f16/bf16 lossy but close (speed modes, see PERF_NOTES)."""
+    import jax.numpy as jnp
+    from gnn_computing_tpu.graph.synthetic import rmat_graph
+    from gnn_computing_tpu.ops.reference import spmm_dense
+    from gnn_computing_tpu.ops.spmm import spmm_xla
+    from gnn_computing_tpu.schedule import neighbor_grouping_plan
+
+    g = rmat_graph(300, 2500, seed=3, with_val=True)
+    plan = neighbor_grouping_plan(g, 8).device_put()
+    rng = np.random.default_rng(5)
+    h = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+    want = spmm_dense(g, np.asarray(h))
+    exact = np.asarray(spmm_xla(plan, h))
+    np.testing.assert_allclose(exact, want, rtol=1e-5, atol=1e-5)
+    s2 = np.asarray(spmm_xla(plan, h, gather_dtype="bf16_split2"))
+    np.testing.assert_allclose(s2, want, rtol=1e-3, atol=1e-3)
+    for dt, tol in [(jnp.float16, 2e-2), (jnp.bfloat16, 1e-1)]:
+        lossy = np.asarray(spmm_xla(plan, h, gather_dtype=dt))
+        np.testing.assert_allclose(lossy, want, rtol=tol, atol=tol)
