@@ -34,7 +34,7 @@ QUICK_DATASETS = {"rmat_quick": (1 << 12, 1 << 16)}
 def parser(desc: str) -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=desc)
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=48)  # quick graphs: long chains lift the slope fit above the ~27ms tunnel dispatch noise
     ap.add_argument("--feature-len", type=int, default=32, dest="feature_len")
     ap.add_argument("--nei", type=int, default=32)
     ap.add_argument("--outfea", type=int, default=32)

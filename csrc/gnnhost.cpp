@@ -220,3 +220,49 @@ int64_t gs_expand_frontier(int64_t frontier_n, const int32_t* frontier,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ----------------------------------------------------- densification fills
+// Scatter-add f32 values into a flat buffer: out[flat[e]] += val[e].
+// The hot fill of schedule/tiles.densify (numpy np.add.at is unvectorized
+// and ~100x slower at 100M+ edges).
+void gs_scatter_add_f32(int64_t m, const int64_t* flat, const float* val,
+                        float* out) {
+  for (int64_t e = 0; e < m; e++) out[flat[e]] += val[e];
+}
+
+// Saturating int8 edge-count fill with spill reporting: out[flat[e]]++
+// until ``cap``; edges beyond the cap get spill[e]=1 (they return to the
+// gather residual).  Replaces densify's sort+rank spill machinery.
+void gs_saturating_count_i8(int64_t m, const int64_t* flat, int64_t cap,
+                            int8_t* out, uint8_t* spill) {
+  for (int64_t e = 0; e < m; e++) {
+    int8_t c = out[flat[e]];
+    if ((int64_t)c >= cap) {
+      spill[e] = 1;
+    } else {
+      out[flat[e]] = (int8_t)(c + 1);
+      spill[e] = 0;
+    }
+  }
+}
+
+// Stable counting sort by key (key[e] < nbins): writes the permutation
+// ``order`` such that key[order] is ascending with original order preserved
+// within equal keys.  O(m + nbins); replaces np.argsort(kind='stable') in
+// CSRGraph.from_edges (reference csr2edgelist-era sorts, aggregator.h:11).
+void gs_counting_sort(int64_t m, const int64_t* key, int64_t nbins,
+                      int64_t* scratch_counts, int64_t* order) {
+  memset(scratch_counts, 0, sizeof(int64_t) * nbins);
+  for (int64_t e = 0; e < m; e++) scratch_counts[key[e]]++;
+  int64_t acc = 0;
+  for (int64_t b = 0; b < nbins; b++) {
+    int64_t c = scratch_counts[b];
+    scratch_counts[b] = acc;
+    acc += c;
+  }
+  for (int64_t e = 0; e < m; e++) order[scratch_counts[key[e]]++] = e;
+}
+
+}  // extern "C"

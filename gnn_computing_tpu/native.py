@@ -98,6 +98,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gs_expand_frontier.restype = i64
         lib.gs_expand_frontier.argtypes = [
             i64, P(i32), P(i32), P(i32), P(u8), P(i32), i64]
+        f32 = ctypes.c_float
+        i8 = ctypes.c_int8
+        lib.gs_scatter_add_f32.restype = None
+        lib.gs_scatter_add_f32.argtypes = [i64, P(i64), P(f32), P(f32)]
+        lib.gs_saturating_count_i8.restype = None
+        lib.gs_saturating_count_i8.argtypes = [i64, P(i64), i64, P(i8), P(u8)]
+        lib.gs_counting_sort.restype = None
+        lib.gs_counting_sort.argtypes = [i64, P(i64), i64, P(i64), P(i64)]
         _lib = lib
         return _lib
 
@@ -245,3 +253,61 @@ def expand_frontier(
         cap,
     )
     return out[:cnt].copy()
+
+
+def scatter_add_f32(flat: np.ndarray, val: np.ndarray, out: np.ndarray) -> bool:
+    """out[flat] += val (flat int64, out f32 flat buffer).  True if the
+    native path ran; caller falls back to np.add.at otherwise."""
+    lib = _load()
+    if lib is None:
+        return False
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    val = np.ascontiguousarray(val, dtype=np.float32)
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    lib.gs_scatter_add_f32(
+        len(flat),
+        _ptr(flat, ctypes.c_int64),
+        _ptr(val, ctypes.c_float),
+        _ptr(out, ctypes.c_float),
+    )
+    return True
+
+
+def saturating_count_i8(
+    flat: np.ndarray, cap: int, out: np.ndarray
+) -> Optional[np.ndarray]:
+    """out[flat] saturating-increment up to cap; returns bool spill mask
+    (True where the edge exceeded the cap), or None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    assert out.dtype == np.int8 and out.flags.c_contiguous
+    spill = np.empty(len(flat), dtype=np.uint8)
+    lib.gs_saturating_count_i8(
+        len(flat),
+        _ptr(flat, ctypes.c_int64),
+        int(cap),
+        _ptr(out, ctypes.c_int8),
+        _ptr(spill, ctypes.c_uint8),
+    )
+    return spill.astype(bool)
+
+
+def counting_sort(key: np.ndarray, nbins: int) -> Optional[np.ndarray]:
+    """Stable ascending-by-key permutation (int64 keys < nbins), O(m+nbins);
+    None without the lib (caller uses np.argsort(kind='stable'))."""
+    lib = _load()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, dtype=np.int64)
+    scratch = np.empty(nbins, dtype=np.int64)
+    order = np.empty(len(key), dtype=np.int64)
+    lib.gs_counting_sort(
+        len(key),
+        _ptr(key, ctypes.c_int64),
+        int(nbins),
+        _ptr(scratch, ctypes.c_int64),
+        _ptr(order, ctypes.c_int64),
+    )
+    return order

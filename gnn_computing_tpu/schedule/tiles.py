@@ -235,15 +235,24 @@ def densify(
     nrt = -(-g.num_nodes // tr)
 
     key = (dst // tr) * nct + (src // tc)
-    uniq, inverse, counts = np.unique(
-        key, return_inverse=True, return_counts=True
-    )
-    dense_sel = counts >= threshold  # per unique tile
-    edge_dense = dense_sel[inverse]  # per edge
-
-    dense_keys = uniq[dense_sel]
+    nbins = nrt * nct
+    if nbins <= (1 << 29):
+        # direct histogram over tile cells — O(m + bins), no 114M-key sort
+        counts_all = np.bincount(key, minlength=nbins)
+        dense_mask = counts_all >= threshold
+        edge_dense = dense_mask[key]
+        dense_keys = np.flatnonzero(dense_mask)
+        tile_id_of_key = np.cumsum(dense_mask) - 1
+        tile_of_edge = tile_id_of_key[key[edge_dense]]
+    else:  # gigantic bin space: fall back to the sort-based unique
+        uniq, inverse, counts = np.unique(
+            key, return_inverse=True, return_counts=True
+        )
+        dense_sel = counts >= threshold
+        edge_dense = dense_sel[inverse]
+        dense_keys = uniq[dense_sel]
+        tile_of_edge = np.searchsorted(dense_keys, key[edge_dense])
     num_tiles = len(dense_keys)
-    tile_of_edge = np.searchsorted(dense_keys, key[edge_dense])
 
     tile_row = (dense_keys // nct).astype(np.int32)
     tile_col = (dense_keys % nct).astype(np.int32)
@@ -261,23 +270,32 @@ def densify(
     # Integer tile dtypes store exact edge COUNTS with a bounded range
     # (int8: 127); cells whose multiplicity exceeds the cap spill the
     # excess duplicate edges back to the residual gather path.
-    int_cap = None
-    if np.issubdtype(np.dtype(dtype), np.integer):
+    from gnn_computing_tpu import native as _native
+
+    int_tiles = np.issubdtype(np.dtype(dtype), np.integer)
+    if int_tiles:
         assert np.allclose(tile_val, 1.0), (
             "integer tile dtypes hold edge counts — only valid for "
             "unweighted/unit-valued graphs"
         )
         int_cap = int(np.iinfo(dtype).max)
-        order = np.argsort(flat, kind="stable")
-        sf = flat[order]
-        _, first, counts_per_cell = np.unique(
-            sf, return_index=True, return_counts=True
+        a8 = np.zeros(max(num_tiles, 0) * tr * tc, dtype)
+        spill = (
+            _native.saturating_count_i8(flat, int_cap, a8)
+            if dtype == np.int8 and num_tiles
+            else None
         )
-        rank = np.arange(len(sf)) - np.repeat(first, counts_per_cell)
-        spill_sorted = rank >= int_cap
-        if spill_sorted.any():
+        if spill is None:  # numpy fallback: rank duplicates per cell
+            order = np.argsort(flat, kind="stable")
+            sf = flat[order]
+            _, first, counts_per_cell = np.unique(
+                sf, return_index=True, return_counts=True
+            )
+            rank = np.arange(len(sf)) - np.repeat(first, counts_per_cell)
             spill = np.zeros(len(flat), bool)
-            spill[order] = spill_sorted
+            spill[order] = rank >= int_cap
+            a8 = None
+        if spill.any():
             # demote spilled duplicates: flip their dense flag
             dense_idx = np.flatnonzero(edge_dense)
             edge_dense[dense_idx[spill]] = False
@@ -285,10 +303,19 @@ def densify(
             de_src, de_dst = de_src[keep], de_dst[keep]
             flat = flat[keep]
             tile_val = tile_val[keep]
-
-    a = np.zeros((max(num_tiles, 0), tr, tc), np.float32)
-    if num_tiles:
-        np.add.at(a.reshape(-1), flat, tile_val)
+        if a8 is not None:
+            a = a8.reshape(max(num_tiles, 0), tr, tc)
+        else:
+            a = np.zeros((max(num_tiles, 0), tr, tc), np.float32)
+            if num_tiles:
+                np.add.at(a.reshape(-1), flat, tile_val)
+    else:
+        a = np.zeros((max(num_tiles, 0), tr, tc), np.float32)
+        if num_tiles:
+            flat_c = np.ascontiguousarray(flat, np.int64)
+            val_c = np.ascontiguousarray(tile_val, np.float32)
+            if not _native.scatter_add_f32(flat_c, val_c, a.reshape(-1)):
+                np.add.at(a.reshape(-1), flat, tile_val)
 
     num_dense_edges = int(edge_dense.sum())
 
@@ -297,7 +324,7 @@ def densify(
             np.arange(nrt, dtype=np.int32), tile_row, assume_unique=False
         )
         if len(missing):
-            a = np.concatenate([a, np.zeros((len(missing), tr, tc), np.float32)])
+            a = np.concatenate([a, np.zeros((len(missing), tr, tc), a.dtype)])
             tile_row = np.concatenate([tile_row, missing])
             tile_col = np.concatenate(
                 [tile_col, np.zeros(len(missing), np.int32)]
@@ -306,7 +333,7 @@ def densify(
 
     order = np.argsort(tile_row, kind="stable")
     plan = TilePlan(
-        a=a[order].astype(dtype),
+        a=a[order].astype(dtype, copy=False),
         tile_col=tile_col[order].astype(np.int32),
         tile_row=tile_row[order].astype(np.int32),
         scale_dst=(
