@@ -196,20 +196,31 @@ def main():
     )
     ap.add_argument("--model", default="gcn", choices=["gcn", "gat"])
     ap.add_argument("--block-size", type=int, default=32)
-    ap.add_argument("--residual-block", type=int, default=8)
+    ap.add_argument("--residual-block", type=int, default=4)
     # defaults = the measured-best single-chip config (int8 count tiles,
-    # threshold 96, pack 8)
-    ap.add_argument("--threshold", type=int, default=96)
+    # threshold 24, pack 16 — cost-model-optimal on the measured
+    # 416ns/tile-3-layer vs 16.2ns/residual-slot constants, PERF_NOTES.md)
+    ap.add_argument("--threshold", type=int, default=24)
     ap.add_argument("--tile-rows", type=int, default=256)
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
-    ap.add_argument("--pack", type=int, default=8)
+    ap.add_argument("--pack", type=int, default=16)
     ap.add_argument(
         "--residual-dtype", default="f32",
-        choices=["f32", "f16", "bf16", "bf16_split2"],
-        help="residual gather mode. f32 = exact (default, passes the 1e-2 "
-        "gate with zero bad elements); f16 = 1.7x faster rows, ~0.6%% "
-        "elements exceed the gate at reddit scale; bf16 = fast but ~5%% "
-        "exceed; bf16_split2 = 16-bit reconstruction, no speed win.",
+        choices=["f32", "f16", "bf16", "bf16_split2", "f16_split2"],
+        help="residual gather mode applied to ALL layers (overridden by "
+        "--layer-config fast). f32 = exact; f16/bf16 = fast 16-bit rows "
+        "but single-rounded (fails the strict gate on cancellation); "
+        "*_split2 = 16/21-bit exact reconstruction ([n,2f] tables — fast "
+        "path only while 2f <= 128 lanes).",
+    )
+    ap.add_argument(
+        "--layer-config", default="fast", choices=["exact", "fast"],
+        help="per-layer numeric modes. fast (default) = "
+        "models.gcn.fast_layer_opts: f16_split2 residual tables + "
+        "split2 tile operands on layers whose aggregation width fits the "
+        "16-bit fast gather path (f<=64) — bit-level exact to >=16 "
+        "mantissa bits, passes the 1e-2/1e-5 gate (tests/test_tiles.py). "
+        "exact = f32 residual + split3 tiles everywhere.",
     )
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
@@ -248,9 +259,16 @@ def main():
         params = init_gat_params(jax.random.key(0), BENCH_DIMS)
         forward = gat_forward
     else:
+        from gnn_computing_tpu.models.gcn import fast_layer_opts
+
+        layer_opts = (
+            fast_layer_opts(BENCH_DIMS)
+            if args.layer_config == "fast" and args.strategy == "hybrid"
+            else None
+        )
         params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
         forward = lambda s, p, hh: gcn_forward_bench(
-            s, p, hh, residual_gather_dtype=rdt
+            s, p, hh, residual_gather_dtype=rdt, layer_opts=layer_opts
         )
     h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)
 

@@ -175,6 +175,7 @@ class Aggregator:
         val_t=None,
         strategy: str = "auto",
         residual_gather_dtype=None,
+        tile_h_mode: str = "auto",
     ) -> jnp.ndarray:
         """Weighted SpMM aggregation (reference Aggregator_GCN::run,
         aggr_gcn.h:411-460).  With a transposed plan available, backward
@@ -200,6 +201,7 @@ class Aggregator:
                 h,
                 strategy,
                 residual_gather_dtype,
+                tile_h_mode,
             )
         if self.plan_t is not None:
             if val is None and self.plan_t.val is not None:

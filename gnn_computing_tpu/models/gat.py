@@ -32,7 +32,11 @@ def gat_layer(
     relu_slope: float = DEFAULT_SLOPE,
     stabilize: bool = False,
 ) -> jnp.ndarray:
-    feat2 = jnp.dot(h, p.w, preferred_element_type=jnp.float32).astype(h.dtype)
+    # HIGHEST: TPU DEFAULT dot is single-pass bf16 and fails the 1e-2 gate
+    feat2 = jnp.dot(
+        h, p.w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(h.dtype)
     # plan may be an AggregationPlan or an Aggregator (incl. hybrid)
     if hasattr(plan, "run_gat"):
         agg_fn = lambda f2, att: plan.run_gat(
@@ -43,11 +47,17 @@ def gat_layer(
             plan, f2, att, relu_slope=relu_slope, stabilize=stabilize
         )
     if p.w_att.ndim == 2:
-        att = jnp.dot(feat2, p.w_att, preferred_element_type=jnp.float32)
+        att = jnp.dot(
+            feat2, p.w_att, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return agg_fn(feat2, att)
     # multi-head: independent attention per head over the shared feat2
     def one_head(w_att_h):
-        att = jnp.dot(feat2, w_att_h, preferred_element_type=jnp.float32)
+        att = jnp.dot(
+            feat2, w_att_h, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return agg_fn(feat2, att)
 
     heads = jax.vmap(one_head)(p.w_att)  # [H, n, f_out]

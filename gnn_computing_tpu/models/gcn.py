@@ -9,6 +9,7 @@ scheduled graph, then ReLU.  The benchmark model is the 3-layer
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence
 
 import jax
@@ -20,6 +21,57 @@ from gnn_computing_tpu.schedule.plan import AggregationPlan
 BENCH_DIMS = (512, 128, 64, 32)  # reference our.py:92-95
 
 
+@dataclasses.dataclass(frozen=True)
+class LayerOpts:
+    """Per-layer numeric/schedule knobs for hybrid (MXU-densified)
+    aggregators.  All default settings are exact-path.
+
+    aggregate_first: compute relu(agg(h) @ W) instead of
+      relu(agg(h @ W)) — identical by linearity of the aggregation, but
+      the aggregation operand becomes the PREVIOUS layer's (nonnegative,
+      post-ReLU) activations, so single-rounded 16-bit operand modes keep
+      the AGGREGATION's relative error at the elementwise rounding bound
+      (nonnegative sums don't cancel).  The downstream transform still
+      crosses relu boundaries, where that rounding shows up near zero:
+      measured ~0.2% of final elements exceed the strict gate with bf16
+      modes — use for speed, not where bit-validation is required
+      (fast_layer_opts sticks to the exact split modes).  Aggregation
+      runs at the layer's INPUT width — free for the row-issue-bound
+      residual gather, wider tiles on the dense side.
+    residual_gather_dtype / tile_h_mode: see ops.spmm.weighted_task_sums
+      and ops.pallas_bcsr.bcsr_spmm_pallas.
+    """
+
+    aggregate_first: bool = False
+    residual_gather_dtype: object = None
+    tile_h_mode: str = "auto"
+
+
+def fast_layer_opts(dims: Sequence[int] = BENCH_DIMS) -> list:
+    """Measured-best per-layer numeric modes that keep the 1e-2/1e-5
+    validation gate with margin (PERF_NOTES.md):
+
+    - transform-first layers whose aggregation width f <= 64 use the
+      EXACT 'f16_split2' residual table ([n, 2f] <= 128 lanes stays on
+      the fast 16-bit gather path; 21 mantissa bits) and exact 'split'
+      (16-bit, cancellation-free integer-count tiles) dense operands.
+    - wider layers stay on the exact f32/split3 path.
+    """
+    opts = []
+    for i in range(len(dims) - 1):
+        f_agg = dims[i + 1]  # transform-first: aggregate at output width
+        if f_agg <= 64:
+            opts.append(
+                LayerOpts(
+                    residual_gather_dtype="f16_split2",
+                    tile_h_mode="split",
+                )
+            )
+        else:
+            opts.append(LayerOpts())
+    return opts
+
+
 def gcn_layer(
     plan,
     h: jnp.ndarray,
@@ -28,19 +80,42 @@ def gcn_layer(
     activation=jax.nn.relu,
     strategy: str = "auto",
     residual_gather_dtype=None,
+    opts: Optional[LayerOpts] = None,
 ) -> jnp.ndarray:
     """``plan`` is an AggregationPlan or an Aggregator (including the
     hybrid MXU-densified kind, aggregator.schedule_hybrid)."""
-    z = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
-    if hasattr(plan, "run"):
-        kw = (
-            {"residual_gather_dtype": residual_gather_dtype}
-            if getattr(plan, "tile", None) is not None
-            else {}
-        )
-        z = plan.run(z, strategy=strategy, **kw)
+    if opts is None:
+        opts = LayerOpts(residual_gather_dtype=residual_gather_dtype)
+    is_hybrid = (
+        hasattr(plan, "run") and getattr(plan, "tile", None) is not None
+    )
+
+    def aggregate(x):
+        if is_hybrid:
+            return plan.run(
+                x,
+                strategy=strategy,
+                residual_gather_dtype=opts.residual_gather_dtype,
+                tile_h_mode=opts.tile_h_mode,
+            )
+        if hasattr(plan, "run"):
+            return plan.run(x, strategy=strategy)
+        return spmm(plan, x, val=val, strategy=strategy)
+
+    if opts.aggregate_first:
+        z = aggregate(h)
+        # explicit HIGHEST: the TPU DEFAULT dot is a single bf16 pass
+        # (~2e-2 mean rel error, measured) and breaks the 1e-2 gate
+        z = jnp.dot(
+            z, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(h.dtype)
     else:
-        z = spmm(plan, z, val=val, strategy=strategy)
+        z = jnp.dot(
+            h, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(h.dtype)
+        z = aggregate(z)
     return activation(z) if activation is not None else z
 
 
@@ -79,12 +154,14 @@ def gcn_forward_bench(
     h: jnp.ndarray,
     strategy: str = "auto",
     residual_gather_dtype=None,
+    layer_opts: Optional[Sequence[LayerOpts]] = None,
 ) -> jnp.ndarray:
     """Exact reference benchmark semantics: ReLU after every layer
     (our.py:252-255 applies gcn_layer_ours, which ends in relu, 3x)."""
-    for w in params:
+    for i, w in enumerate(params):
         h = gcn_layer(
             plan, h, w, activation=jax.nn.relu, strategy=strategy,
             residual_gather_dtype=residual_gather_dtype,
+            opts=None if layer_opts is None else layer_opts[i],
         )
     return h

@@ -51,9 +51,14 @@ def sage_lstm_layer(
 ) -> jnp.ndarray:
     """h_agg = LSTM over neighbor sequence; out = relu([x@Ws ; h_agg] @ Wo)."""
     h_nbr = lstm_aggregate(params.lstm, x, nbr, strategy=strategy)
-    h_self = x @ params.w_self
+    hp = jax.lax.Precision.HIGHEST  # TPU DEFAULT dot = bf16 single pass
+    h_self = jnp.dot(x, params.w_self, precision=hp)
     return jax.nn.relu(
-        jnp.concatenate([h_self, h_nbr], axis=-1) @ params.w_out
+        jnp.dot(
+            jnp.concatenate([h_self, h_nbr], axis=-1),
+            params.w_out,
+            precision=hp,
+        )
     )
 
 

@@ -115,6 +115,7 @@ def bcsr_spmm(
     h: jnp.ndarray,
     strategy: str = "auto",
     precision=DEFAULT_PRECISION,
+    h_mode: str = "auto",
 ) -> jnp.ndarray:
     if strategy in ("auto", "pallas"):
         from gnn_computing_tpu.ops import pallas_bcsr
@@ -122,12 +123,25 @@ def bcsr_spmm(
         if (strategy == "pallas" and pallas_bcsr.supported(tp, h)) or (
             strategy == "auto" and pallas_bcsr.preferred(tp, h)
         ):
-            return pallas_bcsr.bcsr_spmm_pallas(tp, h, precision=precision)
+            return pallas_bcsr.bcsr_spmm_pallas(
+                tp, h, precision=precision, h_mode=h_mode
+            )
+    # XLA fallback emulates the Pallas h_modes' rounding so validation
+    # results transfer between strategies
+    if h_mode == "bf16":
+        h = lax.reduce_precision(h, 8, 7)
+    elif h_mode == "split":
+        from gnn_computing_tpu.ops.pallas_bcsr import bf16_residue_chunks
+
+        hi, lo = bf16_residue_chunks(h.astype(jnp.float32), 2)
+        h = (hi.astype(jnp.float32) + lo.astype(jnp.float32)).astype(
+            h.dtype
+        )
     return bcsr_spmm_xla(tp, h, precision=precision)
 
 
 # ------------------------------------------------------------------- hybrid
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def hybrid_spmm(
     tp: TilePlan,
     tp_t: Optional[TilePlan],
@@ -136,6 +150,7 @@ def hybrid_spmm(
     h: jnp.ndarray,
     strategy: str = "auto",
     residual_gather_dtype=None,
+    tile_h_mode: str = "auto",
 ) -> jnp.ndarray:
     """out = (A_dense + A_residual) @ h with transposed-plan backward.
 
@@ -143,11 +158,14 @@ def hybrid_spmm(
     normalization case; differentiable edge values go through ops.spmm /
     the masked GAT path).
 
-    residual_gather_dtype: gather the residual's h rows in this dtype
-    (bf16: 1.7x faster row-issue, ~0.4% rounding on residual
-    contributions only — the dense-tile side stays exact).
+    residual_gather_dtype: gather the residual's h rows in this mode (see
+    ops.spmm.weighted_task_sums — 16-bit rows issue ~3x faster; split2
+    modes are exact to 16/21 bits).  tile_h_mode: the dense-tile operand
+    decomposition (see ops.pallas_bcsr.bcsr_spmm_pallas).  Both only
+    perturb the FORWARD value; backward always runs the exact default
+    modes (cotangents are signed/cancellation-prone).
     """
-    out = bcsr_spmm(tp, h, strategy)
+    out = bcsr_spmm(tp, h, strategy, h_mode=tile_h_mode)
     if plan is not None:
         out = out + spmm_xla(
             plan, h, gather_dtype=residual_gather_dtype
@@ -155,9 +173,12 @@ def hybrid_spmm(
     return out
 
 
-def _hybrid_fwd(tp, tp_t, plan, plan_t, h, strategy, residual_gather_dtype):
+def _hybrid_fwd(
+    tp, tp_t, plan, plan_t, h, strategy, residual_gather_dtype, tile_h_mode
+):
     return hybrid_spmm(
-        tp, tp_t, plan, plan_t, h, strategy, residual_gather_dtype
+        tp, tp_t, plan, plan_t, h, strategy, residual_gather_dtype,
+        tile_h_mode,
     ), (
         tp,
         tp_t,
@@ -166,7 +187,7 @@ def _hybrid_fwd(tp, tp_t, plan, plan_t, h, strategy, residual_gather_dtype):
     )
 
 
-def _hybrid_bwd(strategy, residual_gather_dtype, res, ct):
+def _hybrid_bwd(strategy, residual_gather_dtype, tile_h_mode, res, ct):
     tp, tp_t, plan, plan_t = res
     assert tp_t is not None, (
         "hybrid_spmm backward needs a transposed tile plan "
@@ -175,7 +196,7 @@ def _hybrid_bwd(strategy, residual_gather_dtype, res, ct):
     dh = bcsr_spmm(tp_t, ct, strategy)
     if plan is not None:
         assert plan_t is not None
-        dh = dh + spmm_xla(plan_t, ct, gather_dtype=residual_gather_dtype)
+        dh = dh + spmm_xla(plan_t, ct)
     return (None, None, None, None, dh)
 
 

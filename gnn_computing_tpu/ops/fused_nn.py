@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from gnn_computing_tpu.schedule.plan import AggregationPlan
@@ -33,4 +34,5 @@ def spmm_nn(
     """Returns (aggregated, aggregated @ w) — reference run_with_nn's
     (vout, transformed) pair (aggr_gcn.h:304-359)."""
     agg = spmm(plan, h, val=val, strategy=strategy)
-    return agg, agg @ w
+    # HIGHEST: TPU DEFAULT dot = bf16 single pass, fails the 1e-2 gate
+    return agg, jnp.dot(agg, w, precision=jax.lax.Precision.HIGHEST)

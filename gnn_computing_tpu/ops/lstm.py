@@ -87,12 +87,13 @@ def lstm_aggregate(
     nbr_t = jnp.transpose(nbr)  # [k, n] -> scan steps
 
     if strategy == "redundancy_bypass":
-        gx_all = x @ params.wx  # ONE gate GEMM over sources
+        hp = lax.Precision.HIGHEST  # TPU DEFAULT dot = bf16 1-pass
+        gx_all = jnp.dot(x, params.wx, precision=hp)  # ONE gate GEMM
 
         def step(carry, nbr_step):
             h, c = carry
             gx = jnp.take(gx_all, nbr_step, axis=0)  # sparse fetch of gates
-            gh = h @ params.wh
+            gh = jnp.dot(h, params.wh, precision=hp)
             h, c = lstm_cell(gx, gh, params.b, h, c)
             return (h, c), None
 
@@ -100,11 +101,14 @@ def lstm_aggregate(
         return h
 
     if strategy == "sparse_fetch":
+        hp = lax.Precision.HIGHEST
 
         def step(carry, nbr_step):
             h, c = carry
-            xg = jnp.take(x, nbr_step, axis=0) @ params.wx  # redundant GEMM
-            gh = h @ params.wh
+            xg = jnp.dot(  # redundant GEMM
+                jnp.take(x, nbr_step, axis=0), params.wx, precision=hp
+            )
+            gh = jnp.dot(h, params.wh, precision=hp)
             h, c = lstm_cell(xg, gh, params.b, h, c)
             return (h, c), None
 
@@ -113,11 +117,12 @@ def lstm_aggregate(
 
     if strategy == "materialize":
         xs = jnp.take(x, nbr.reshape(-1), axis=0).reshape(n, k, -1)
+        hp = lax.Precision.HIGHEST
 
         def step(carry, t):
             h, c = carry
-            xg = xs[:, t] @ params.wx
-            gh = h @ params.wh
+            xg = jnp.dot(xs[:, t], params.wx, precision=hp)
+            gh = jnp.dot(h, params.wh, precision=hp)
             h, c = lstm_cell(xg, gh, params.b, h, c)
             return (h, c), None
 

@@ -104,6 +104,9 @@ def bcsr_spmm_pallas(
                  miss the 1e-2 gate on heavy-cancellation rows.
       'split3' — 3 bf16 residue chunks (24 mantissa bits == f32): full f32
                  accuracy from exact bf16 dots over bf16-exact tiles.
+      'bf16'   — h cast to ONE bf16 chunk ([tc, f] operand — the minimum
+                 HBM traffic mode; ~4e-3 single-rounding relative, safe
+                 only for non-cancelling aggregations).
       'native' — single dot in the operand dtype; f32 operands run at
                  ``precision`` (HIGHEST: Mosaic only lowers
                  DEFAULT/HIGHEST), bf16 operands multiply exactly.
@@ -154,6 +157,10 @@ def bcsr_spmm_pallas(
         # step (one DMA, one wide MXU dot) instead of nchunks operands
         h_op = jnp.concatenate(chunks, axis=1)
         w = nchunks * f
+    elif h_mode == "bf16":
+        nchunks = 1
+        h_op = h.astype(jnp.bfloat16)
+        w = f
     else:
         nchunks = 1
         h_op = h

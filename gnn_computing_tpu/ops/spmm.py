@@ -98,25 +98,39 @@ def weighted_task_sums(
     gather multiplied elementwise, reshaped, and reduced — no [nt, B, f]
     HBM intermediate, no edge-granular scatter.
 
-    gather_dtype: the gather is row-issue-bound and WIDTH-INDEPENDENT, and
-    bf16 rows issue 1.7x faster than f32 (PERF_NOTES.md).  Options:
+    gather_dtype: the gather is row-issue-bound and WIDTH-INDEPENDENT
+    within a dtype, and 16-bit rows issue ~3x faster than f32 rows
+    (PERF_NOTES.md).  Options:
       None           — gather h as-is (f32: exact, slowest).
-      'bf16_split2'  — gather ONE [n, 2f] bf16 table of split2 residue
-                       chunks and reconstruct hi+lo in f32: the 1.7x bf16
-                       row rate at 16-mantissa-bit accuracy (~6e-6 rel —
-                       plain bf16 rounding fails the 1e-2 gate, measured
-                       1.2% bad elements).
-      a dtype        — gather h cast to that dtype (bf16: fast, ~0.4%
-                       rounding; fails the strict gate on cancellation).
+      'f16_split2'   — gather ONE [n, 2f] f16 table of residue chunks
+                       (hi = f16(h), lo = f16(h - hi): 21 mantissa bits,
+                       ~5e-7 rel — exact for ALL inputs incl. signed
+                       cancellation) and reconstruct hi+lo in f32.  Rides
+                       the 16-bit fast gather path while 2f <= 128 lanes
+                       (f <= 64); above that the wide-row slow path loses
+                       to plain f32.
+      'bf16_split2'  — same with bf16 chunks (16 mantissa bits, ~6e-6
+                       rel); same width caveat.
+      a dtype        — gather h cast to that dtype (bf16/f16: fastest
+                       rows; single-rounding ~4e-4 (f16)/~4e-3 (bf16)
+                       relative — safe ONLY for non-cancelling sums, e.g.
+                       nonnegative operands under nonnegative weights).
     """
     nt, b = plan.src.shape
     f = h.shape[-1]
     src_flat = jnp.asarray(plan.src).reshape(-1)
-    if gather_dtype == "bf16_split2":
-        from gnn_computing_tpu.ops.pallas_bcsr import bf16_residue_chunks
+    if gather_dtype in ("bf16_split2", "f16_split2"):
+        if gather_dtype == "f16_split2":
+            hf = h.astype(jnp.float32)
+            hi = jax.lax.reduce_precision(hf, 5, 10).astype(jnp.float16)
+            lo = (hf - hi.astype(jnp.float32)).astype(jnp.float16)
+        else:
+            from gnn_computing_tpu.ops.pallas_bcsr import (
+                bf16_residue_chunks,
+            )
 
-        hi, lo = bf16_residue_chunks(h.astype(jnp.float32), 2)
-        hh = jnp.concatenate([hi, lo], axis=1)  # [n, 2f] bf16
+            hi, lo = bf16_residue_chunks(h.astype(jnp.float32), 2)
+        hh = jnp.concatenate([hi, lo], axis=1)  # [n, 2f] 16-bit
         g = jnp.take(hh, src_flat, axis=0)
         rec = g[:, :f].astype(jnp.float32) + g[:, f:].astype(jnp.float32)
         msg = rec * v.reshape(-1).astype(jnp.float32)[:, None]

@@ -280,3 +280,78 @@ def test_hybrid_gat_grad_matches_gather_path():
     gh2, ga2 = jax.grad(loss_gather, argnums=(0, 1))(h, att)
     np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2), rtol=1e-3, atol=1e-3)
+
+
+def test_residual_gather_modes_pass_gate():
+    """16-bit residual gather modes stay within the reference 1e-2 gate:
+    split2 modes are exact to 16/21 bits for arbitrary signed operands."""
+    from gnn_computing_tpu.ops.validate import assert_valid
+
+    g = rmat_graph(600, 6000, seed=31, with_val=True)
+    plan = neighbor_grouping_plan(g, 8)
+    rng = np.random.default_rng(32)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 32)).astype(np.float32))
+    want = spmm_dense(g, np.asarray(h))
+    for mode in ("f16_split2", "bf16_split2"):
+        got = spmm_xla(plan, h, gather_dtype=mode)
+        assert_valid(got, want, what=mode)
+
+
+def test_layer_opts_aggregate_first_equivalence():
+    """relu(agg(h)@W) == relu(agg(h@W)) by linearity; exercised through
+    the hybrid aggregator + LayerOpts plumbing."""
+    from gnn_computing_tpu.aggregator import Aggregator
+    from gnn_computing_tpu.models.gcn import LayerOpts, gcn_layer
+
+    g = rmat_graph(400, 3000, seed=27, with_val=True)
+    agg = Aggregator.schedule_hybrid(
+        g, tile_rows=64, tile_cols=64, threshold=4, with_transpose=False
+    )
+    rng = np.random.default_rng(28)
+    h = jnp.asarray(
+        np.abs(rng.normal(size=(g.num_nodes, 16))).astype(np.float32)
+    )
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    ref = gcn_layer(agg, h, w, strategy="xla")
+    got = gcn_layer(
+        agg, h, w, strategy="xla", opts=LayerOpts(aggregate_first=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fast_layer_opts_forward_passes_gate():
+    """The measured-best bench numeric config (models.gcn.fast_layer_opts)
+    must pass the validation gate against the f64 dense oracle on the full
+    3-layer forward."""
+    from gnn_computing_tpu.aggregator import Aggregator
+    from gnn_computing_tpu.models.gcn import (
+        fast_layer_opts,
+        gcn_forward_bench,
+        init_gcn_params,
+    )
+    from gnn_computing_tpu.ops.validate import assert_valid
+    from gnn_computing_tpu.graph.csr import CSRGraph
+
+    g = rmat_graph(512, 8000, seed=29, with_val=False)
+    # GCN-normalized values like the bench
+    from gnn_computing_tpu.schedule.tiles import densify_gcn_norm  # noqa
+
+    agg = Aggregator.schedule_hybrid(
+        g, tile_rows=64, tile_cols=64, threshold=4, with_transpose=False
+    )
+    dims = (48, 24, 16, 8)
+    params = init_gcn_params(jax.random.key(0), dims)
+    rng = np.random.default_rng(30)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, dims[0])).astype(np.float32) * 0.1)
+
+    # f64 oracle: dense adjacency forward with identical layer semantics
+    a = np.zeros((g.num_nodes, g.num_nodes))
+    np.add.at(a, (g.dst_per_edge, g.indices), 1.0)
+    ref = np.asarray(h, np.float64)
+    for w in params:
+        ref = np.maximum(a @ (ref @ np.asarray(w, np.float64)), 0.0)
+
+    got = gcn_forward_bench(
+        agg, params, h, strategy="xla", layer_opts=fast_layer_opts(dims)
+    )
+    assert_valid(got, ref, what="fast_layer_opts forward")
