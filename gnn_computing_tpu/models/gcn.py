@@ -49,26 +49,30 @@ class LayerOpts:
 
 def fast_layer_opts(dims: Sequence[int] = BENCH_DIMS) -> list:
     """Measured-best per-layer numeric modes that keep the 1e-2/1e-5
-    validation gate with margin (PERF_NOTES.md):
+    validation gate with ZERO bad elements (verified on-TPU vs the f64
+    dense oracle, PERF_NOTES.md):
 
+    - dense tiles use 'split' (2 bf16 residue chunks = 16 mantissa bits)
+      on every layer — integer-count tiles are exact, so the only
+      rounding is the split's ~1.5e-5 relative, well inside the gate
+      (the historical 'split2 fails' result was the DEFAULT bf16 matmul
+      in the surrounding transform, fixed by Precision.HIGHEST).
     - transform-first layers whose aggregation width f <= 64 use the
       EXACT 'f16_split2' residual table ([n, 2f] <= 128 lanes stays on
-      the fast 16-bit gather path; 21 mantissa bits) and exact 'split'
-      (16-bit, cancellation-free integer-count tiles) dense operands.
-    - wider layers stay on the exact f32/split3 path.
+      the fast 16-bit gather path; 21 mantissa bits); wider layers keep
+      f32 residual rows.
     """
     opts = []
     for i in range(len(dims) - 1):
         f_agg = dims[i + 1]  # transform-first: aggregate at output width
-        if f_agg <= 64:
-            opts.append(
-                LayerOpts(
-                    residual_gather_dtype="f16_split2",
-                    tile_h_mode="split",
-                )
+        opts.append(
+            LayerOpts(
+                residual_gather_dtype=(
+                    "f16_split2" if f_agg <= 64 else None
+                ),
+                tile_h_mode="split",
             )
-        else:
-            opts.append(LayerOpts())
+        )
     return opts
 
 

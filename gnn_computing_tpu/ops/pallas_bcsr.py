@@ -169,23 +169,32 @@ def bcsr_spmm_pallas(
     K = pack
     steps = num_t // K
 
+    # (row, col) packed into ONE int32 scalar-prefetch array: SMEM is only
+    # 1 MiB and dense plans reach ~150k+ tiles — two separate int32 arrays
+    # exceed it (measured OOM at reddit-scale threshold 24).  col < 2^C_BITS
+    # by construction (nct tile columns).
+    c_bits = max(int(nct - 1).bit_length(), 1)
+    cmod = 1 << c_bits
+    rc = row * cmod + col
+
     # Accumulate each tile-row run in a VMEM scratch and write the output
     # block ONCE at run end — reading o_ref back per step costs a measured
     # ~20% in HBM round-trips.  With pack K, K tiles (same destination run,
     # guaranteed by TilePlan.pad_runs) process per grid step: the ~180-300ns
     # per-step fixed cost amortizes K-fold (measured: 454 -> 175 ns/tile at
     # K=8, PERF_NOTES.md).
-    def kernel(row_ref, col_ref, a_ref, *refs):
+    def kernel(rc_ref, a_ref, *refs):
         h_refs = refs[:K]
         o_ref = refs[K]
         acc_ref = refs[K + 1]
         i = pl.program_id(0)
         first = (i == 0) | (
-            row_ref[K * i] != row_ref[jnp.maximum(K * i - 1, 0)]
+            rc_ref[K * i] // cmod
+            != rc_ref[jnp.maximum(K * i - 1, 0)] // cmod
         )
         last = (i == steps - 1) | (
-            row_ref[K * i + K - 1]
-            != row_ref[jnp.minimum(K * i + K, num_t - 1)]
+            rc_ref[K * i + K - 1] // cmod
+            != rc_ref[jnp.minimum(K * i + K, num_t - 1)] // cmod
         )
 
         @pl.when(first)
@@ -224,17 +233,17 @@ def bcsr_spmm_pallas(
             o_ref[...] = acc_ref[...]
 
     def h_index(k):
-        return lambda i, row, col: (col[K * i + k], 0)
+        return lambda i, rc: (rc[K * i + k] % cmod, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((K, tr, tc), lambda i, row, col: (i, 0, 0))
+            pl.BlockSpec((K, tr, tc), lambda i, rc: (i, 0, 0))
         ]
         + [pl.BlockSpec((tc, w), h_index(k)) for k in range(K)],
         out_specs=pl.BlockSpec(
-            (tr, f), lambda i, row, col: (row[K * i], 0)
+            (tr, f), lambda i, rc: (rc[K * i] // cmod, 0)
         ),
         scratch_shapes=[pltpu.VMEM((tr, f), jnp.float32)],
     )
@@ -243,7 +252,7 @@ def bcsr_spmm_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
-    )(row, col, a, *([h_op] * K))
+    )(rc, a, *([h_op] * K))
     out = out[: tp.num_nodes]
     if tp.scale_dst is not None:
         out = out * jnp.asarray(tp.scale_dst)[:, None]
@@ -316,8 +325,11 @@ def gat_bcsr_pallas(
 
     a = jnp.asarray(tp.a)
     num_t = a.shape[0]
-    row = jnp.asarray(tp.tile_row)
-    col = jnp.asarray(tp.tile_col)
+    # packed (row, col) scalar prefetch — see bcsr_spmm_pallas (SMEM is
+    # 1 MiB; dense plans exceed it with two int32 arrays)
+    c_bits = max(int(nct - 1).bit_length(), 1)
+    cmod = 1 << c_bits
+    rc = jnp.asarray(tp.tile_row) * cmod + jnp.asarray(tp.tile_col)
 
     K = pack if pack is not None else (getattr(tp, "pack", 1) or 1)
     assert num_t % K == 0
@@ -325,28 +337,29 @@ def gat_bcsr_pallas(
 
     # Within a grid step all K tiles share one destination run (pad_runs
     # contract), so the row-side blocks (ad/u/q) are fetched ONCE per step.
-    def bounds(row_ref, i):
+    def bounds(rc_ref, i):
         first = (i == 0) | (
-            row_ref[K * i] != row_ref[jnp.maximum(K * i - 1, 0)]
+            rc_ref[K * i] // cmod
+            != rc_ref[jnp.maximum(K * i - 1, 0)] // cmod
         )
         last = (i == steps - 1) | (
-            row_ref[K * i + K - 1]
-            != row_ref[jnp.minimum(K * i + K, num_t - 1)]
+            rc_ref[K * i + K - 1] // cmod
+            != rc_ref[jnp.minimum(K * i + K, num_t - 1)] // cmod
         )
         return first, last
 
-    a_spec = pl.BlockSpec((K, tr, tc), lambda i, row, col: (i, 0, 0))
-    rowb = lambda i, row, col: (row[K * i], 0)
+    a_spec = pl.BlockSpec((K, tr, tc), lambda i, rc: (i, 0, 0))
+    rowb = lambda i, rc: (rc[K * i] // cmod, 0)
     row_spec = pl.BlockSpec((tr, 1), rowb)
 
     def col_spec(k):
         return pl.BlockSpec(
-            (1, 1, tc), lambda i, row, col: (col[K * i + k], 0, 0)
+            (1, 1, tc), lambda i, rc: (rc[K * i + k] % cmod, 0, 0)
         )
 
     def hv_spec(k):
         return pl.BlockSpec(
-            (tc, 2 * f), lambda i, row, col: (col[K * i + k], 0)
+            (tc, 2 * f), lambda i, rc: (rc[K * i + k] % cmod, 0)
         )
 
     out_specs = [
@@ -366,14 +379,14 @@ def gat_bcsr_pallas(
         q = u2 / u1
         r = (v2 / v1).reshape(nct, 1, tc)
 
-        def kernel(row_ref, col_ref, a_ref, ad_ref, u1_ref, q_ref, *refs):
+        def kernel(rc_ref, a_ref, ad_ref, u1_ref, q_ref, *refs):
             as_refs = refs[:K]
             r_refs = refs[K : 2 * K]
             v1_refs = refs[2 * K : 3 * K]
             hv_refs = refs[3 * K : 4 * K]
             num_ref, den_ref, accn_ref, accd_ref = refs[4 * K :]
             i = pl.program_id(0)
-            first, last = bounds(row_ref, i)
+            first, last = bounds(rc_ref, i)
 
             @pl.when(first)
             def _zero():
@@ -407,7 +420,7 @@ def gat_bcsr_pallas(
                 den_ref[...] = accd_ref[...]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(steps,),
             in_specs=[a_spec, row_spec, row_spec, row_spec]
             + [col_spec(k) for k in range(K)]
@@ -420,14 +433,14 @@ def gat_bcsr_pallas(
         num, den = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape
         )(
-            row, col, a, ad, u1, q,
+            rc, a, ad, u1, q,
             *([asrc] * K), *([r] * K), *([v1b] * K), *([hv1] * K),
         )
         return num[: tp.num_nodes], den[: tp.num_nodes, 0]
 
     hv2 = jnp.concatenate(bf16_residue_chunks(hp * v2, 2), axis=1)
 
-    def kernel(row_ref, col_ref, a_ref, ad_ref, u1_ref, u2_ref, *refs):
+    def kernel(rc_ref, a_ref, ad_ref, u1_ref, u2_ref, *refs):
         as_refs = refs[:K]
         v1_refs = refs[K : 2 * K]
         v2_refs = refs[2 * K : 3 * K]
@@ -435,7 +448,7 @@ def gat_bcsr_pallas(
         hv2_refs = refs[4 * K : 5 * K]
         num_ref, den_ref, accn_ref, accd_ref = refs[5 * K :]
         i = pl.program_id(0)
-        first, last = bounds(row_ref, i)
+        first, last = bounds(rc_ref, i)
 
         @pl.when(first)
         def _zero():
@@ -477,7 +490,7 @@ def gat_bcsr_pallas(
             den_ref[...] = accd_ref[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(steps,),
         in_specs=[a_spec, row_spec, row_spec, row_spec]
         + [col_spec(k) for k in range(K)]
@@ -491,7 +504,7 @@ def gat_bcsr_pallas(
     num, den = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape
     )(
-        row, col, a, ad, u1, u2,
+        rc, a, ad, u1, u2,
         *([asrc] * K), *([v1b] * K), *([v2b] * K),
         *([hv1] * K), *([hv2] * K),
     )
