@@ -196,14 +196,15 @@ def main():
     )
     ap.add_argument("--model", default="gcn", choices=["gcn", "gat"])
     ap.add_argument("--block-size", type=int, default=32)
-    ap.add_argument("--residual-block", type=int, default=4)
-    # defaults = the measured-best single-chip config (int8 count tiles,
-    # threshold 24, pack 16 — cost-model-optimal on the measured
-    # 416ns/tile-3-layer vs 16.2ns/residual-slot constants, PERF_NOTES.md)
-    ap.add_argument("--threshold", type=int, default=24)
+    ap.add_argument("--residual-block", type=int, default=None)
+    # defaults = the measured-best single-chip configs (int8 count tiles;
+    # PERF_NOTES.md cost models): GCN tiles cost ~373ns/3-layers vs
+    # ~23ns/residual-slot => threshold 24; the fused GAT tile kernel is
+    # ~3x costlier per tile => threshold stays at 96.
+    ap.add_argument("--threshold", type=int, default=None)
     ap.add_argument("--tile-rows", type=int, default=256)
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
-    ap.add_argument("--pack", type=int, default=16)
+    ap.add_argument("--pack", type=int, default=None)
     ap.add_argument(
         "--residual-dtype", default="f32",
         choices=["f32", "f16", "bf16", "bf16_split2", "f16_split2"],
@@ -241,6 +242,14 @@ def main():
     n, m = (1 << 16, 1 << 22) if args.quick else (REDDIT_N, REDDIT_M)
     g = build_graph(n, m)
 
+    # per-model plan defaults (see --threshold help)
+    if args.threshold is None:
+        args.threshold = 96 if args.model == "gat" else 24
+    if args.residual_block is None:
+        args.residual_block = 8 if args.model == "gat" else 4
+    if args.pack is None:
+        args.pack = 8 if args.model == "gat" else 16
+
     if args.strategy == "hybrid":
         sched = build_hybrid(
             g, n, m, args.threshold, args.tile_rows, args.residual_block,
@@ -257,7 +266,10 @@ def main():
     }[args.residual_dtype]
     if args.model == "gat":
         params = init_gat_params(jax.random.key(0), BENCH_DIMS)
-        forward = gat_forward
+        gat_fast = (
+            args.layer_config == "fast" and args.strategy == "hybrid"
+        )
+        forward = lambda s, p, hh: gat_forward(s, p, hh, fast=gat_fast)
     else:
         from gnn_computing_tpu.models.gcn import fast_layer_opts
 

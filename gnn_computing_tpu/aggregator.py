@@ -223,6 +223,8 @@ class Aggregator:
         att: jnp.ndarray,
         relu_slope: float = gat_mod.DEFAULT_SLOPE,
         stabilize: bool = False,
+        att_gather_dtype=None,
+        h_gather_dtype=None,
     ) -> jnp.ndarray:
         """Fused GAT attention aggregation (Aggregator_GAT::run,
         aggr_gat.h:317-354)."""
@@ -234,7 +236,9 @@ class Aggregator:
                 "reference's un-stabilized form is supported"
             )
             return hybrid_gat(
-                self.tile, self.plan, h, att, relu_slope=relu_slope
+                self.tile, self.plan, h, att, relu_slope=relu_slope,
+                att_gather_dtype=att_gather_dtype,
+                h_gather_dtype=h_gather_dtype,
             )
         return gat_mod.gat_aggregate(
             self.plan, h, att, relu_slope=relu_slope, stabilize=stabilize

@@ -31,6 +31,8 @@ def gat_layer(
     p: GATLayerParams,
     relu_slope: float = DEFAULT_SLOPE,
     stabilize: bool = False,
+    att_gather_dtype=None,
+    h_gather_dtype=None,
 ) -> jnp.ndarray:
     # HIGHEST: TPU DEFAULT dot is single-pass bf16 and fails the 1e-2 gate
     feat2 = jnp.dot(
@@ -40,7 +42,9 @@ def gat_layer(
     # plan may be an AggregationPlan or an Aggregator (incl. hybrid)
     if hasattr(plan, "run_gat"):
         agg_fn = lambda f2, att: plan.run_gat(
-            f2, att, relu_slope=relu_slope, stabilize=stabilize
+            f2, att, relu_slope=relu_slope, stabilize=stabilize,
+            att_gather_dtype=att_gather_dtype,
+            h_gather_dtype=h_gather_dtype,
         )
     else:
         agg_fn = lambda f2, att: gat_aggregate(
@@ -87,10 +91,26 @@ def gat_forward(
     h: jnp.ndarray,
     relu_slope: float = DEFAULT_SLOPE,
     stabilize: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """3-layer benchmark forward (our.py:274-277 — no inter-layer
     nonlinearity beyond the softmax-weighted aggregation, matching the
-    reference driver)."""
+    reference driver).
+
+    fast=True applies the measured-best EXACT residual gather modes on
+    hybrid aggregators (0 bad elements vs the f64 oracle, PERF_NOTES.md):
+    att_src always via the [n, 2] f16_split2 table (21-bit exact, 16-bit
+    fast row path); h via f16_split2 when the layer's aggregation width
+    fits the fast path (2f <= 128 lanes)."""
     for p in params:
-        h = gat_layer(plan, h, p, relu_slope=relu_slope, stabilize=stabilize)
+        f_out = p.w.shape[-1]
+        kw = {}
+        if fast:
+            kw = dict(
+                att_gather_dtype="f16_split2",
+                h_gather_dtype="f16_split2" if f_out <= 64 else None,
+            )
+        h = gat_layer(
+            plan, h, p, relu_slope=relu_slope, stabilize=stabilize, **kw
+        )
     return h

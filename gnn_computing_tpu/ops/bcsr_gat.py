@@ -152,11 +152,16 @@ def gat_bcsr(
     return gat_bcsr_xla(tp, h, att, relu_slope)
 
 
-def _hybrid_gat_impl(tp, plan, h, att, relu_slope, strategy):
+def _hybrid_gat_impl(
+    tp, plan, h, att, relu_slope, strategy,
+    att_gather_dtype=None, h_gather_dtype=None,
+):
     num, den = gat_bcsr(tp, h, att, relu_slope, strategy)
     if plan is not None and plan.num_edges:
         nr, dr, _ = gat_aggregate_parts(
-            plan, h, att, relu_slope=relu_slope, stabilize=False
+            plan, h, att, relu_slope=relu_slope, stabilize=False,
+            att_gather_dtype=att_gather_dtype,
+            h_gather_dtype=h_gather_dtype,
         )
         num = num + nr
         den = den + dr
@@ -164,13 +169,23 @@ def _hybrid_gat_impl(tp, plan, h, att, relu_slope, strategy):
     return (num / safe[:, None]).astype(h.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _hybrid_gat(tp, plan, h, att, relu_slope, strategy):
-    return _hybrid_gat_impl(tp, plan, h, att, relu_slope, strategy)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _hybrid_gat(
+    tp, plan, h, att, relu_slope, strategy, att_gather_dtype, h_gather_dtype
+):
+    return _hybrid_gat_impl(
+        tp, plan, h, att, relu_slope, strategy,
+        att_gather_dtype, h_gather_dtype,
+    )
 
 
-def _hybrid_gat_fwd(tp, plan, h, att, relu_slope, strategy):
-    return _hybrid_gat_impl(tp, plan, h, att, relu_slope, strategy), (
+def _hybrid_gat_fwd(
+    tp, plan, h, att, relu_slope, strategy, att_gather_dtype, h_gather_dtype
+):
+    return _hybrid_gat_impl(
+        tp, plan, h, att, relu_slope, strategy,
+        att_gather_dtype, h_gather_dtype,
+    ), (
         tp,
         plan,
         h,
@@ -178,9 +193,12 @@ def _hybrid_gat_fwd(tp, plan, h, att, relu_slope, strategy):
     )
 
 
-def _hybrid_gat_bwd(relu_slope, strategy, res, ct):
+def _hybrid_gat_bwd(
+    relu_slope, strategy, att_gather_dtype, h_gather_dtype, res, ct
+):
     # Differentiate the pure-XLA formulation (scan + scatter-add — fully
-    # AD-able); the Pallas forward kernel itself is not differentiable.
+    # AD-able) with EXACT gather modes; the Pallas forward kernel itself
+    # is not differentiable.
     tp, plan, h, att = res
     _, vjp = jax.vjp(
         lambda hh, aa: _hybrid_gat_impl(tp, plan, hh, aa, relu_slope, "xla"),
@@ -201,6 +219,8 @@ def hybrid_gat(
     att: jnp.ndarray,
     relu_slope: float = DEFAULT_SLOPE,
     strategy: str = "auto",
+    att_gather_dtype=None,
+    h_gather_dtype=None,
 ) -> jnp.ndarray:
     """Fused GAT forward over a hybrid (dense tiles + residual) schedule.
 
@@ -212,4 +232,7 @@ def hybrid_gat(
     assert tp.scale_dst is None and tp.scale_src is None, (
         "hybrid GAT needs raw count tiles (no factored scales)"
     )
-    return _hybrid_gat(tp, plan, h, att, relu_slope, strategy)
+    return _hybrid_gat(
+        tp, plan, h, att, relu_slope, strategy,
+        att_gather_dtype, h_gather_dtype,
+    )

@@ -41,14 +41,33 @@ def leaky_relu(x, slope: float = DEFAULT_SLOPE):
     return jnp.maximum(x, x * slope)
 
 
-def _att_slots(plan: AggregationPlan, att: jnp.ndarray):
+def _att_slots(
+    plan: AggregationPlan, att: jnp.ndarray, gather_dtype=None
+):
     """z[t, s] = att[dst_t, 0] + att[src_{t,s}, 1] on valid slots.
 
     ``att`` is the reference's 2-wide per-node attention tensor
     (``transform[v*2]`` = dst part, ``transform[v*2+1]`` = src part,
-    aggr_gat.h:125,138)."""
+    aggr_gat.h:125,138).  gather_dtype='f16_split2' stores the src half
+    as an exact two-chunk f16 table ([n, 2], 21 mantissa bits) that rides
+    the fast 16-bit gather row path (PERF_NOTES.md)."""
     a_dst = jnp.take(att[:, 0], jnp.asarray(plan.dst))  # [nt]
-    a_src = jnp.take(att[:, 1], jnp.asarray(plan.src))  # [nt, B]
+    src = jnp.asarray(plan.src)
+    if gather_dtype == "f16_split2":
+        asv = att[:, 1].astype(jnp.float32)
+        hi = jax.lax.reduce_precision(asv, 5, 10).astype(jnp.float16)
+        lo = (asv - hi.astype(jnp.float32)).astype(jnp.float16)
+        tbl = jnp.stack([hi, lo], axis=1)  # [n, 2] f16
+        g = jnp.take(tbl, src.reshape(-1), axis=0)
+        a_src = (
+            g[:, 0].astype(jnp.float32) + g[:, 1].astype(jnp.float32)
+        ).reshape(src.shape)
+    elif gather_dtype is not None:
+        a_src = jnp.take(
+            att[:, 1].astype(gather_dtype), src
+        ).astype(jnp.float32)
+    else:
+        a_src = jnp.take(att[:, 1], src)  # [nt, B]
     return a_dst[:, None] + a_src
 
 
@@ -58,19 +77,59 @@ def gat_aggregate_parts(
     att: jnp.ndarray,
     relu_slope: float = DEFAULT_SLOPE,
     stabilize: bool = False,
+    packed: Optional[bool] = None,
+    att_gather_dtype=None,
+    h_gather_dtype=None,
 ):
     """Un-normalized fused attention aggregation: returns
     (numerator [n, f], denominator [n], slot_scores) — the pieces the
     two-phase reference design accumulates before scaleArray
     (aggr_gat.h:167-213).  Exposed so hybrid (dense-tile + residual)
-    aggregation can merge partial sums before the final division."""
-    # NOTE: a single packed gather [h | att_src] was measured WORSE here:
-    # the gathered array feeds two consumers (score and message), so XLA
-    # materializes the [m, f+1] intermediate in HBM (8.8 GB at reddit
-    # scale -> OOM).  Two takes keep both fused.
+    aggregation can merge partial sums before the final division.
+
+    packed: gather ONE [n, f+1] table ([h | att_src]) instead of two
+    separate row gathers.  MEASURED WORSE in every regime: the gathered
+    array feeds two consumers (score and message), so XLA materializes
+    the [slots, f+1] intermediate in HBM, and a MATERIALIZING gather
+    runs ~20 ns/row vs ~7 fused (PERF_NOTES.md) — the saved row issues
+    never pay for the slowdown.  Kept as an explicit option for
+    reproducing that measurement; default off.
+
+    att_gather_dtype / h_gather_dtype: gather modes for the two fused
+    gathers (see ops.spmm.weighted_task_sums).  'f16_split2' att tables
+    ([n, 4] <= 128 lanes) are exact to 21 bits and ride the fast 16-bit
+    row path; same for h while 2f <= 128 lanes.
+    """
     mask = plan.slot_mask()
     dst = jnp.asarray(plan.dst)
-    z = _att_slots(plan, att)
+    f = h.shape[-1]
+    nt, b = plan.src.shape
+    if packed is None:
+        packed = False
+    if packed and not stabilize:
+        src_flat = jnp.asarray(plan.src).reshape(-1)
+        tbl = jnp.concatenate(
+            [h, att[:, 1:2].astype(h.dtype)], axis=1
+        )
+        g = jnp.take(tbl, src_flat, axis=0)  # [nt*b, f+1] (materialized)
+        a_dst = jnp.take(att[:, 0], dst)  # [nt]
+        z = a_dst[:, None] + g[:, f].reshape(nt, b).astype(jnp.float32)
+        score = jnp.where(mask, jnp.exp(leaky_relu(z, relu_slope)), 0.0)
+        msg = g[:, :f].astype(jnp.float32) * score.reshape(-1)[:, None]
+        # [msg | score] in one task reduce + ONE segment sum (f+1 lanes)
+        task = jnp.concatenate(
+            [
+                msg.reshape(nt, b, f).sum(axis=1),
+                score.sum(axis=1, keepdims=True),
+            ],
+            axis=1,
+        )
+        seg = jax.ops.segment_sum(
+            task, dst, num_segments=plan.num_nodes,
+            indices_are_sorted=plan.sorted_by_dst,
+        )
+        return seg[:, :f].astype(h.dtype), seg[:, f], score
+    z = _att_slots(plan, att, gather_dtype=att_gather_dtype)
     z = leaky_relu(z, relu_slope)
     if stabilize:
         task_max = jnp.max(jnp.where(mask, z, -jnp.inf), axis=1)
@@ -86,7 +145,9 @@ def gat_aggregate_parts(
 
     from gnn_computing_tpu.ops.spmm import weighted_task_sums
 
-    num_task = weighted_task_sums(plan, h, score)  # fused gather+reduce
+    num_task = weighted_task_sums(  # fused gather+reduce
+        plan, h, score, gather_dtype=h_gather_dtype
+    )
     denom_task = jnp.sum(score, axis=1)
     num = jax.ops.segment_sum(
         num_task, dst, num_segments=plan.num_nodes,

@@ -267,6 +267,7 @@ def gat_bcsr_pallas(
     relu_slope: float = 0.2,
     mode: str = "twodot",
     pack: int = None,
+    hv_chunks: int = 2,
 ):
     """Factored fused-GAT over dense tiles (see ops/bcsr_gat.py for the
     math).  Returns (numerator [n, f], denominator [n]) accumulated across
@@ -318,10 +319,16 @@ def gat_bcsr_pallas(
     v1b = v1.reshape(nct, 1, tc)
     v2b = v2.reshape(nct, 1, tc)
 
-    # packed [tc, 2f] operand(s): v_b*h split into 2 bf16 residue chunks
-    # (16 mantissa bits; single-chunk bf16 rounding fails the 1e-2 gate on
-    # cancellation-heavy rows)
-    hv1 = jnp.concatenate(bf16_residue_chunks(hp * v1, 2), axis=1)
+    # packed [tc, hv_chunks*f] operand(s): v_b*h as bf16 residue chunks.
+    # hv_chunks=2 (16 mantissa bits) is the exact default; hv_chunks=1
+    # single-rounds the operand (~4e-3) — halves the dot work + DMA bytes,
+    # for callers that accept the looser score-weighted sums.
+    def hv_op(x):
+        if hv_chunks == 1:
+            return x.astype(jnp.bfloat16)
+        return jnp.concatenate(bf16_residue_chunks(x, hv_chunks), axis=1)
+
+    hv1 = hv_op(hp * v1)
 
     a = jnp.asarray(tp.a)
     num_t = a.shape[0]
@@ -357,9 +364,11 @@ def gat_bcsr_pallas(
             (1, 1, tc), lambda i, rc: (rc[K * i + k] % cmod, 0, 0)
         )
 
+    wv = hv_chunks * f
+
     def hv_spec(k):
         return pl.BlockSpec(
-            (tc, 2 * f), lambda i, rc: (rc[K * i + k] % cmod, 0)
+            (tc, wv), lambda i, rc: (rc[K * i + k] % cmod, 0)
         )
 
     out_specs = [
@@ -406,7 +415,10 @@ def gat_bcsr_pallas(
                     hv_refs[k][...],
                     preferred_element_type=jnp.float32,
                 )
-                accn += u1_ref[...] * (p[:, :f] + p[:, f:])
+                pn = p[:, :f]
+                for c in range(1, hv_chunks):
+                    pn = pn + p[:, c * f : (c + 1) * f]
+                accn += u1_ref[...] * pn
                 # denominator: VPU row-reduction of the scored tile
                 accd += u1_ref[...] * jnp.sum(
                     a_m * v1_refs[k][0], axis=1, keepdims=True
@@ -438,7 +450,7 @@ def gat_bcsr_pallas(
         )
         return num[: tp.num_nodes], den[: tp.num_nodes, 0]
 
-    hv2 = jnp.concatenate(bf16_residue_chunks(hp * v2, 2), axis=1)
+    hv2 = hv_op(hp * v2)
 
     def kernel(rc_ref, a_ref, ad_ref, u1_ref, u2_ref, *refs):
         as_refs = refs[:K]
@@ -473,9 +485,13 @@ def gat_bcsr_pallas(
                 hv2_refs[k][...],
                 preferred_element_type=jnp.float32,
             )
-            accn += u1_ref[...] * (p1[:, :f] + p1[:, f:]) + u2_ref[
-                ...
-            ] * (p2[:, :f] + p2[:, f:])
+            def rec(p):
+                out = p[:, :f]
+                for c in range(1, hv_chunks):
+                    out = out + p[:, c * f : (c + 1) * f]
+                return out
+
+            accn += u1_ref[...] * rec(p1) + u2_ref[...] * rec(p2)
             accd += u1_ref[...] * jnp.sum(
                 a1 * v1_refs[k][0], axis=1, keepdims=True
             ) + u2_ref[...] * jnp.sum(
