@@ -38,6 +38,9 @@ import numpy as np
 REDDIT_N, REDDIT_M = 232_965, 114_615_891
 BASELINE_EDGES_PER_S = 3 * REDDIT_M / 0.058089  # V100 GCN, draw_fig7.py:68
 BASELINE_GAT_EDGES_PER_S = 3 * REDDIT_M / 0.055538  # V100 GAT, draw_fig7.py:75
+SAGE_K = 16  # fixed-16-neighbor sampled graphs, run_our.sh:16-20
+# V100 SAGE-LSTM reddit 0.014204 s (draw_fig7.py:84); edges = n*k
+BASELINE_SAGE_EDGES_PER_S = 232_965 * SAGE_K / 0.014204
 
 
 def log(*a):
@@ -194,13 +197,12 @@ def main():
     ap.add_argument(
         "--strategy", default="hybrid", choices=["hybrid", "gather"]
     )
-    ap.add_argument("--model", default="gcn", choices=["gcn", "gat"])
+    ap.add_argument("--model", default="gcn", choices=["gcn", "gat", "sage"])
     ap.add_argument("--block-size", type=int, default=32)
     ap.add_argument("--residual-block", type=int, default=None)
-    # defaults = the measured-best single-chip configs (int8 count tiles;
-    # PERF_NOTES.md cost models): GCN tiles cost ~373ns/3-layers vs
-    # ~23ns/residual-slot => threshold 24; the fused GAT tile kernel is
-    # ~3x costlier per tile => threshold stays at 96.
+    # defaults = the measured-best single-chip configs (int8 count
+    # tiles, threshold 24, residual block 4, pack 16 — PERF_NOTES.md
+    # cost models; best for both GCN and GAT at reddit scale).
     ap.add_argument("--threshold", type=int, default=None)
     ap.add_argument("--tile-rows", type=int, default=256)
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
@@ -242,13 +244,53 @@ def main():
     n, m = (1 << 16, 1 << 22) if args.quick else (REDDIT_N, REDDIT_M)
     g = build_graph(n, m)
 
-    # per-model plan defaults (see --threshold help)
+    if args.model == "sage":
+        # SAGE-LSTM on the presampled fixed-16-neighbor graph
+        # (Figure7/main.cu:138-330 "ours" strategy = redundancy bypass)
+        from gnn_computing_tpu.graph.sample import presample_fixed_neighbors
+        from gnn_computing_tpu.graph.synthetic import normal_features
+        from gnn_computing_tpu.ops.lstm import init_lstm_params, lstm_aggregate
+        from gnn_computing_tpu.utils.timing import benchmark_chained
+
+        f = 32  # reference feature length for fig7/fig11 SAGE runs
+        spath = os.path.join(_cache_dir(), f"sample{SAGE_K}_n{n}_m{m}.npz")
+        if os.path.exists(spath):
+            nbr = np.load(spath)["nbr"]
+        else:
+            nbr = presample_fixed_neighbors(g, k=SAGE_K, seed=2)
+            np.savez(spath, nbr=nbr)
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(normal_features(n, f, seed=3) * 0.1)
+        params = init_lstm_params(jax.random.key(0), f, f)
+        nbr = jnp.asarray(nbr)
+        from gnn_computing_tpu.utils.timing import benchmark_chained
+
+        log("compiling + warmup...")
+        r = benchmark_chained(
+            lambda xx, p, nb: lstm_aggregate(p, xx, nb, "redundancy_bypass"),
+            x, params, nbr, iters=args.iters, reps=3,
+        )
+        log(f"first call: {r.compile_s:.1f}s")
+        log(f"sage aggregate: {r.min_s * 1e3:.2f} ms")
+        eps = n * SAGE_K / r.min_s
+        print(json.dumps({
+            "metric": "sagelstm_reddit_scale_edges_per_s_per_chip",
+            "value": eps,
+            "unit": "edges/s",
+            "vs_baseline": eps / BASELINE_SAGE_EDGES_PER_S,
+        }))
+        return
+
+    # per-model plan defaults (see --threshold help); measured at reddit
+    # scale: GCN t24 148ms (t96: 203); GAT t24 416ms (t96: 558)
     if args.threshold is None:
-        args.threshold = 96 if args.model == "gat" else 24
+        args.threshold = 24
     if args.residual_block is None:
-        args.residual_block = 8 if args.model == "gat" else 4
+        args.residual_block = 4
     if args.pack is None:
-        args.pack = 8 if args.model == "gat" else 16
+        args.pack = 16
 
     if args.strategy == "hybrid":
         sched = build_hybrid(
