@@ -268,8 +268,11 @@ def main():
         from gnn_computing_tpu.utils.timing import benchmark_chained
 
         log("compiling + warmup...")
+        gdt = None if args.layer_config == "exact" else jnp.float16
         r = benchmark_chained(
-            lambda xx, p, nb: lstm_aggregate(p, xx, nb, "redundancy_bypass"),
+            lambda xx, p, nb: lstm_aggregate(
+                p, xx, nb, "redundancy_bypass", gate_gather_dtype=gdt
+            ),
             x, params, nbr, iters=args.iters, reps=3,
         )
         log(f"first call: {r.compile_s:.1f}s")

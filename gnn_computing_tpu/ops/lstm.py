@@ -69,6 +69,7 @@ def lstm_aggregate(
     x: jnp.ndarray,  # [n_src, f_in] source features
     nbr: jnp.ndarray,  # int32[n, k] t-th sampled neighbor of each vertex
     strategy: str = "redundancy_bypass",
+    gate_gather_dtype=None,
 ) -> jnp.ndarray:
     """Run the k-step neighbor LSTM; returns final hidden state [n, f].
 
@@ -79,7 +80,12 @@ def lstm_aggregate(
                             step (main.cu:286-329)
       'materialize'       — materialize [n, k, f_in] neighbor features up
                             front (DGL-style, main.cu:239-284)
-    """
+
+    gate_gather_dtype (redundancy_bypass only): gather the pre-activation
+    gate rows in this dtype — 16-bit rows issue ~2x faster than f32
+    (PERF_NOTES.md) and LSTM gates are CONTRACTIVE (sigmoid/tanh bound
+    the derivative), so the f16 single rounding (~5e-4) stays well inside
+    the 1e-2 validation gate (tests/test_sage_lstm.py)."""
     n, k = nbr.shape
     f = params.wh.shape[0]
     h0 = jnp.zeros((n, f), x.dtype)
@@ -89,10 +95,13 @@ def lstm_aggregate(
     if strategy == "redundancy_bypass":
         hp = lax.Precision.HIGHEST  # TPU DEFAULT dot = bf16 1-pass
         gx_all = jnp.dot(x, params.wx, precision=hp)  # ONE gate GEMM
+        if gate_gather_dtype is not None:
+            gx_all = gx_all.astype(gate_gather_dtype)
 
         def step(carry, nbr_step):
             h, c = carry
-            gx = jnp.take(gx_all, nbr_step, axis=0)  # sparse fetch of gates
+            # sparse fetch of gates (16-bit fast row path when cast)
+            gx = jnp.take(gx_all, nbr_step, axis=0).astype(x.dtype)
             gh = jnp.dot(h, params.wh, precision=hp)
             h, c = lstm_cell(gx, gh, params.b, h, c)
             return (h, c), None

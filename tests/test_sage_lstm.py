@@ -186,3 +186,28 @@ def test_spmm_nn_pair():
     agg, tr = spmm_nn(plan, h, w)
     np.testing.assert_allclose(agg, spmm_xla(plan, h), rtol=1e-5)
     np.testing.assert_allclose(tr, spmm_xla(plan, h) @ w, rtol=1e-4, atol=1e-4)
+
+
+def test_f16_gate_gather_within_gate():
+    """f16 pre-activation gate rows stay within the 1e-2 validation gate:
+    sigmoid/tanh are contractive, so the ~5e-4 f16 rounding does not
+    amplify across the k recurrent steps."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_computing_tpu.graph.sample import presample_fixed_neighbors
+    from gnn_computing_tpu.graph.synthetic import rmat_graph
+    from gnn_computing_tpu.ops.lstm import init_lstm_params, lstm_aggregate
+    from gnn_computing_tpu.ops.validate import relative_error_count
+
+    g = rmat_graph(512, 8000, seed=11, with_val=False)
+    nbr = jnp.asarray(presample_fixed_neighbors(g, k=16, seed=2))
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((512, 32)).astype(np.float32) * 0.1)
+    params = init_lstm_params(jax.random.key(0), 32, 32)
+    ref = lstm_aggregate(params, x, nbr, "redundancy_bypass")
+    got = lstm_aggregate(
+        params, x, nbr, "redundancy_bypass", gate_gather_dtype=jnp.float16
+    )
+    assert relative_error_count(np.asarray(got), np.asarray(ref)) == 0
