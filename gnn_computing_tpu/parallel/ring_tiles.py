@@ -36,6 +36,14 @@ from gnn_computing_tpu.parallel.partition import RingPlan, build_ring_plan
 from gnn_computing_tpu.schedule.tiles import densify
 
 
+def _pvary(x, axis):
+    """Mark ``x`` as varying over ``axis`` (scan-carry type matching).
+    lax.pvary is deprecated in favor of pcast(..., to='varying')."""
+    if hasattr(lax, "pcast"):
+        return lax.pcast(x, axis, to="varying")
+    return lax.pvary(x, axis)  # older jax
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "col", "row"],
@@ -251,10 +259,11 @@ def _local_ring_hybrid(
         )
         return (out_t, out_r, nxt)
 
-    # pvary marks the fresh zeros as varying over the mesh axis so the scan
+    # pcast marks the fresh zeros as varying over the mesh axis so the scan
     # carry types match the ppermute-updated buffer (zeros_like trick in
-    # ring.py, generalized to a different shape)
-    out_t0 = lax.pvary(
+    # ring.py, generalized to a different shape).  lax.pvary was deprecated
+    # in favor of pcast(..., to='varying').
+    out_t0 = _pvary(
         jnp.zeros((nrt, tile_rows, f), h_local.dtype), GRAPH_AXIS
     )
     out_r0 = jnp.zeros_like(h_local)
@@ -415,10 +424,10 @@ def _local_ring_hybrid_gat(
             nxt,
         )
 
-    num0 = lax.pvary(
+    num0 = _pvary(
         jnp.zeros((nrt, tile_rows, f), jnp.float32), GRAPH_AXIS
     )
-    den0 = lax.pvary(jnp.zeros((nrt, tile_rows), jnp.float32), GRAPH_AXIS)
+    den0 = _pvary(jnp.zeros((nrt, tile_rows), jnp.float32), GRAPH_AXIS)
     num, den, _ = lax.fori_loop(0, d, step, (num0, den0, h_local))
     num = num.reshape(ns, f)
     den = den.reshape(ns)
