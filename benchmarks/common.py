@@ -36,7 +36,13 @@ def parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--iters", type=int, default=48)  # quick graphs: long chains lift the slope fit above the ~27ms tunnel dispatch noise
     ap.add_argument("--feature-len", type=int, default=32, dest="feature_len")
-    ap.add_argument("--nei", type=int, default=32)
+    ap.add_argument(
+        "--nei", type=int, default=32,
+        help="NG group size (reference run.sh sweeps 16/32/64); 0 = auto "
+        "from mean degree — the reference's groups are CSR segments "
+        "without padding, so the padded-slot analog should not exceed "
+        "the typical degree (4x pad waste on mean-degree-8 graphs).",
+    )
     ap.add_argument("--outfea", type=int, default=32)
     ap.add_argument("--out", default=None, help="results file override")
     return ap
@@ -48,6 +54,16 @@ def datasets(args):
 
     for name, (n, m) in table.items():
         yield name, rmat_graph(n, m, seed=123, with_val=False)
+
+
+def pick_block(args, g) -> int:
+    """--nei, or the nearest power of two to the mean degree (clamped
+    [4, 32]) when --nei 0."""
+    if args.nei:
+        return args.nei
+    mean_deg = max(g.num_edges / max(g.num_nodes, 1), 1.0)
+    b = 1 << int(round(np.log2(mean_deg)))
+    return int(min(32, max(4, b)))
 
 
 def emit(tag: str, record: dict, args) -> None:

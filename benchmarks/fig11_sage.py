@@ -37,7 +37,12 @@ def main():
         params = init_lstm_params(jax.random.key(0), f, f)
         for label, strat in STRATEGIES.items():
             r = benchmark_chained(
-                lambda xx, p, nb, s=strat: lstm_aggregate(p, xx, nb, s),
+                lambda xx, p, nb, s=strat: lstm_aggregate(
+                    p, xx, nb, s,
+                    gate_gather_dtype=(
+                        jnp.float16 if s == "redundancy_bypass" else None
+                    ),
+                ),
                 x,
                 params,
                 nbr,

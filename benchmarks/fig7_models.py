@@ -22,7 +22,7 @@ from gnn_computing_tpu.models import (
     init_gcn_params,
 )
 from gnn_computing_tpu.models.gat import gat_forward
-from gnn_computing_tpu.models.gcn import gcn_forward_bench
+from gnn_computing_tpu.models.gcn import fast_layer_opts, gcn_forward_bench
 from gnn_computing_tpu.models.sage_lstm import (
     BENCH_FEATURE_LEN,
     BENCH_NUM_NEIGHBORS,
@@ -35,14 +35,26 @@ from gnn_computing_tpu.utils.timing import benchmark_chained
 def main():
     args = common.parser(__doc__).parse_args()
     for name, g in common.datasets(args):
-        plan = neighbor_grouping_plan(g, args.nei).device_put()
+        # the framework's best schedule: degree-sorted MXU densification +
+        # gather residual (same recipe as bench.py), exact fast modes
+        import numpy as np
+        from gnn_computing_tpu.aggregator import Aggregator
+        from gnn_computing_tpu.graph.reorder import degree_sort
+
+        g2 = g.reorder(degree_sort(g))
+        plan = Aggregator.schedule_hybrid(
+            g2, tile_rows=256, tile_cols=128, threshold=24,
+            residual_block=common.pick_block(args, g),
+            tile_dtype=np.int8, with_transpose=False, pack=16,
+        )
         h = jnp.asarray(
             normal_features(g.num_nodes, BENCH_DIMS[0], seed=1) * 0.1
         )
 
         gcn_params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
+        opts = fast_layer_opts(BENCH_DIMS)
         r = benchmark_chained(
-            lambda hh, p, w: gcn_forward_bench(p, w, hh),
+            lambda hh, p, w: gcn_forward_bench(p, w, hh, layer_opts=opts),
             h, plan, gcn_params, iters=args.iters,
         )
         common.emit(
@@ -58,7 +70,7 @@ def main():
 
         gat_params = init_gat_params(jax.random.key(1), BENCH_DIMS)
         r = benchmark_chained(
-            lambda hh, p, w: gat_forward(p, w, hh),
+            lambda hh, p, w: gat_forward(p, w, hh, fast=True),
             h, plan, gat_params, iters=args.iters,
         )
         common.emit(
@@ -82,7 +94,10 @@ def main():
             jax.random.key(2), BENCH_FEATURE_LEN, BENCH_FEATURE_LEN
         )
         r = benchmark_chained(
-            lambda xx, p, nb: lstm_aggregate(p, xx, nb, "redundancy_bypass"),
+            lambda xx, p, nb: lstm_aggregate(
+                p, xx, nb, "redundancy_bypass",
+                gate_gather_dtype=jnp.float16,
+            ),
             x,
             lstm,
             nbr,
