@@ -67,10 +67,10 @@ def tune_gather(
 def tune_hybrid(
     g: CSRGraph,
     feature_len: int = 128,
-    thresholds: Sequence[int] = (48, 96, 256),
+    thresholds: Sequence[int] = (24, 48, 96),
     tile_rows: Sequence[int] = (256,),
     dtypes: Sequence[str] = ("int8", "bf16"),
-    residual_block: int = 8,
+    residual_block: int = 4,
     iters: int = 4,
     weighted: bool = False,
 ) -> TuneResult:
@@ -98,6 +98,7 @@ def tune_hybrid(
                     residual_block=residual_block,
                     tile_dtype=dt_map[dts],
                     with_transpose=False,
+                    pack=16,
                 )
                 t = _time_agg(agg, feature_len, iters)
                 cfg = {
