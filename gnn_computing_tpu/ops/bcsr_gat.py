@@ -144,8 +144,10 @@ def gat_bcsr(
 
         if pallas_bcsr.supported(tp, h) and strategy in ("auto", "pallas"):
             try:
+                # 'maxdot': exact single-dot form — measured fastest AND
+                # f32-exact at wide logits (PERF_NOTES.md)
                 return pallas_bcsr.gat_bcsr_pallas(
-                    tp, h, att, relu_slope=relu_slope
+                    tp, h, att, relu_slope=relu_slope, mode="maxdot"
                 )
             except NotImplementedError:
                 pass

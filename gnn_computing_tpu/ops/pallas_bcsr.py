@@ -265,7 +265,7 @@ def gat_bcsr_pallas(
     h: jnp.ndarray,
     att: jnp.ndarray,
     relu_slope: float = 0.2,
-    mode: str = "twodot",
+    mode: str = "maxdot",
     pack: int = None,
     hv_chunks: int = 2,
 ):
@@ -284,8 +284,17 @@ def gat_bcsr_pallas(
     u_b apply as row post-scales.  Tile entries stay EXACT (integer counts)
     — all rounding is the 16-bit split of v*h products.
 
-    mode='merged' (~25% faster, looser): fold branch 2 into the tile via
-    the rank-1 rescale
+    mode='maxdot': exact single-dot form via the identity
+        exp(lrelu(ad+as)) = max(e^{ad} e^{as}, e^{s ad} e^{s as})
+    (for slope s<1 the two branch products cross exactly at ad+as=0).
+    The scored tile a_s = cnt * max(u1 v1^T, u2 v2^T) is built in f32 on
+    the VPU (exact: integer counts times 1-ulp products) and multiplied
+    against the RAW f32 h block with a HIGHEST-precision dot — f32-grade
+    accuracy with ONE dot, one [tc, f] f32 operand (half the twodot DMA),
+    and no compare/cast chain.
+
+    mode='merged' (~25% faster than twodot, looser): fold branch 2 into
+    the tile via the rank-1 rescale
         score = u1[i] v1[j] * (z > 0 ? cnt : cnt * q[i] r[j]),
         q = u2/u1 = exp((s-1) ad),  r = v2/v1 = exp((s-1) as),
     so ONE dot against split2(v1 * h) suffices.  Branch-2 tile entries are
@@ -383,6 +392,66 @@ def gat_bcsr_pallas(
         jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
         jax.ShapeDtypeStruct((nrt * tr, 1), jnp.float32),
     ]
+
+    if mode == "maxdot":
+        def kernel(rc_ref, a_ref, u1_ref, u2_ref, *refs):
+            v1_refs = refs[:K]
+            v2_refs = refs[K : 2 * K]
+            h_refs = refs[2 * K : 3 * K]
+            num_ref, den_ref, accn_ref, accd_ref = refs[3 * K :]
+            i = pl.program_id(0)
+            first, last = bounds(rc_ref, i)
+
+            @pl.when(first)
+            def _zero():
+                accn_ref[...] = jnp.zeros_like(accn_ref)
+                accd_ref[...] = jnp.zeros_like(accd_ref)
+
+            accn = accn_ref[...]
+            accd = accd_ref[...]
+            for k in range(K):
+                cnt = a_ref[k].astype(jnp.float32)
+                a_s = cnt * jnp.maximum(
+                    u1_ref[...] * v1_refs[k][0],
+                    u2_ref[...] * v2_refs[k][0],
+                )
+                accn += jnp.dot(
+                    a_s,
+                    h_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+                accd += jnp.sum(a_s, axis=1, keepdims=True)
+            accn_ref[...] = accn
+            accd_ref[...] = accd
+
+            @pl.when(last)
+            def _write():
+                num_ref[...] = accn_ref[...]
+                den_ref[...] = accd_ref[...]
+
+        def hraw_spec(k):
+            return pl.BlockSpec(
+                (tc, f), lambda i, rc: (rc[K * i + k] % cmod, 0)
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[a_spec, row_spec, row_spec]
+            + [col_spec(k) for k in range(K)]
+            + [col_spec(k) for k in range(K)]
+            + [hraw_spec(k) for k in range(K)],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        num, den = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape
+        )(
+            rc, a, u1, u2,
+            *([v1b] * K), *([v2b] * K), *([hp] * K),
+        )
+        return num[: tp.num_nodes], den[: tp.num_nodes, 0]
 
     if mode == "merged":
         q = u2 / u1
