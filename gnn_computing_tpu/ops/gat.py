@@ -142,6 +142,10 @@ def gat_aggregate_parts(
         row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
         z = z - row_max[dst][:, None]
     score = jnp.where(mask, jnp.exp(z), 0.0)  # [nt, B]
+    # (An optimization_barrier here — forcing the score to materialize
+    # between the att gather and the h gather — was measured ~4-8% SLOWER:
+    # XLA already keeps the two gather loops separate; the barrier only
+    # added the [nt, B] round-trip.)
 
     from gnn_computing_tpu.ops.spmm import weighted_task_sums
 

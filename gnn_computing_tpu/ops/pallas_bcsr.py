@@ -409,19 +409,27 @@ def gat_bcsr_pallas(
 
             accn = accn_ref[...]
             accd = accd_ref[...]
+            # factor the per-destination u1 OUT of the max:
+            #   max(u1 v1, u2 v2) = u1 * max(v1, q v2),  q = u2/u1 > 0
+            # so the [tr, tc] score build is 3 VPU passes (q*v2 broadcast,
+            # max, *cnt) instead of 5, and u1 applies as a row post-scale
+            # on the dot result and row-sum (the kernel is VPU-bound on
+            # score construction — measured width-independent per tile).
+            q = u2_ref[...] / u1_ref[...]
             for k in range(K):
                 cnt = a_ref[k].astype(jnp.float32)
                 a_s = cnt * jnp.maximum(
-                    u1_ref[...] * v1_refs[k][0],
-                    u2_ref[...] * v2_refs[k][0],
+                    v1_refs[k][0], q * v2_refs[k][0]
                 )
-                accn += jnp.dot(
+                accn += u1_ref[...] * jnp.dot(
                     a_s,
                     h_refs[k][...],
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST,
                 )
-                accd += jnp.sum(a_s, axis=1, keepdims=True)
+                accd += u1_ref[...] * jnp.sum(
+                    a_s, axis=1, keepdims=True
+                )
             accn_ref[...] = accn
             accd_ref[...] = accd
 
