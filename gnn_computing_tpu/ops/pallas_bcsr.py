@@ -394,11 +394,18 @@ def gat_bcsr_pallas(
     ]
 
     if mode == "maxdot":
-        def kernel(rc_ref, a_ref, u1_ref, u2_ref, *refs):
-            v1_refs = refs[:K]
-            v2_refs = refs[K : 2 * K]
-            h_refs = refs[2 * K : 3 * K]
-            num_ref, den_ref, accn_ref, accd_ref = refs[3 * K :]
+        # pack (v1, v2) into ONE [nct, 2, tc] col operand and (u1, u2)
+        # into ONE [nrt*tr, 2] row operand: the kernel is bound by
+        # per-step fixed costs (~3K+4 operand DMAs at pack K), so halving
+        # the small-block count matters more than VPU passes (measured:
+        # u1-factoring alone changed nothing).
+        v12 = jnp.concatenate([v1b, v2b], axis=1)  # [nct, 2, tc]
+        u12 = jnp.concatenate([u1, u2], axis=1)  # [nrt*tr, 2]
+
+        def kernel(rc_ref, a_ref, u12_ref, *refs):
+            v12_refs = refs[:K]
+            h_refs = refs[K : 2 * K]
+            num_ref, den_ref, accn_ref, accd_ref = refs[2 * K :]
             i = pl.program_id(0)
             first, last = bounds(rc_ref, i)
 
@@ -409,27 +416,23 @@ def gat_bcsr_pallas(
 
             accn = accn_ref[...]
             accd = accd_ref[...]
+            u1v = u12_ref[:, :1]
             # factor the per-destination u1 OUT of the max:
             #   max(u1 v1, u2 v2) = u1 * max(v1, q v2),  q = u2/u1 > 0
-            # so the [tr, tc] score build is 3 VPU passes (q*v2 broadcast,
-            # max, *cnt) instead of 5, and u1 applies as a row post-scale
-            # on the dot result and row-sum (the kernel is VPU-bound on
-            # score construction — measured width-independent per tile).
-            q = u2_ref[...] / u1_ref[...]
+            # u1 then applies as a row post-scale on dot result + row-sum
+            q = u12_ref[:, 1:2] / u1v
             for k in range(K):
                 cnt = a_ref[k].astype(jnp.float32)
                 a_s = cnt * jnp.maximum(
-                    v1_refs[k][0], q * v2_refs[k][0]
+                    v12_refs[k][0, 0], q * v12_refs[k][0, 1]
                 )
-                accn += u1_ref[...] * jnp.dot(
+                accn += u1v * jnp.dot(
                     a_s,
                     h_refs[k][...],
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST,
                 )
-                accd += u1_ref[...] * jnp.sum(
-                    a_s, axis=1, keepdims=True
-                )
+                accd += u1v * jnp.sum(a_s, axis=1, keepdims=True)
             accn_ref[...] = accn
             accd_ref[...] = accd
 
@@ -443,12 +446,20 @@ def gat_bcsr_pallas(
                 (tc, f), lambda i, rc: (rc[K * i + k] % cmod, 0)
             )
 
+        def v12_spec(k):
+            return pl.BlockSpec(
+                (1, 2, tc), lambda i, rc: (rc[K * i + k] % cmod, 0, 0)
+            )
+
+        u12_spec = pl.BlockSpec(
+            (tr, 2), lambda i, rc: (rc[K * i] // cmod, 0)
+        )
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(steps,),
-            in_specs=[a_spec, row_spec, row_spec]
-            + [col_spec(k) for k in range(K)]
-            + [col_spec(k) for k in range(K)]
+            in_specs=[a_spec, u12_spec]
+            + [v12_spec(k) for k in range(K)]
             + [hraw_spec(k) for k in range(K)],
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -456,8 +467,7 @@ def gat_bcsr_pallas(
         num, den = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape
         )(
-            rc, a, u1, u2,
-            *([v1b] * K), *([v2b] * K), *([hp] * K),
+            rc, a, u12, *([v12] * K), *([hp] * K),
         )
         return num[: tp.num_nodes], den[: tp.num_nodes, 0]
 
