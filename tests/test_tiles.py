@@ -355,3 +355,29 @@ def test_fast_layer_opts_forward_passes_gate():
         agg, params, h, strategy="xla", layer_opts=fast_layer_opts(dims)
     )
     assert_valid(got, ref, what="fast_layer_opts forward")
+
+
+def test_bench_add_transpose_grads_match():
+    """bench.add_transpose reconstructs the residual edge list from the
+    slot grid and attaches transposed plans; gradients through it must
+    match an aggregator built directly with with_transpose=True."""
+    import bench as bench_mod
+
+    from gnn_computing_tpu.aggregator import Aggregator
+
+    g = rmat_graph(400, 3000, seed=33, with_val=False)
+    direct = Aggregator.schedule_hybrid(
+        g, tile_rows=64, tile_cols=64, threshold=4, residual_block=4,
+        tile_dtype=np.int8, with_transpose=True, pack=8,
+    )
+    fwd_only = Aggregator.schedule_hybrid(
+        g, tile_rows=64, tile_cols=64, threshold=4, residual_block=4,
+        tile_dtype=np.int8, with_transpose=False, pack=8,
+    )
+    patched = bench_mod.add_transpose(fwd_only, pack=8).device_put()
+    rng = np.random.default_rng(34)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 16)).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(direct.run(x) ** 2))(h)
+    g2 = jax.grad(lambda x: jnp.sum(patched.run(x) ** 2))(h)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-4, atol=1e-4)
