@@ -34,7 +34,10 @@ def main():
     nslots = nt * b
     print(f"tasks={nt} slots={nslots}", file=sys.stderr)
 
-    for F in (128, 64):
+    widths = (
+        [int(sys.argv[1])] if len(sys.argv) > 1 else [128, 64]
+    )  # one width per process keeps the tunnel-compile budget bounded
+    for F in widths:
         h = jnp.asarray(
             np.random.default_rng(0).standard_normal((N, F), dtype=np.float32)
         )
