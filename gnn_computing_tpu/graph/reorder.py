@@ -159,3 +159,70 @@ def cluster_reorder(
             next_rank += 1
         rank[v] = first[r]
     return np.lexsort((np.arange(n), rank)).astype(np.int64)
+
+
+# ------------------------------------------------- label-propagation (2D)
+def label_propagation_reorder(
+    g: CSRGraph,
+    iters: int = 5,
+    self_weight: int = 1,
+    degree_sort_within: bool = True,
+) -> np.ndarray:
+    """Community-contiguous permutation (new -> old) via label propagation.
+
+    A TPU-motivated reorder with no reference counterpart: the MXU tile
+    densification path (schedule/tiles.py) needs 2D BLOCK locality — rows
+    AND their neighbor columns packed into the same [tile_rows x
+    tile_cols] adjacency blocks.  The reference's LSH clustering
+    (cluster2.py) optimizes a GPU-cache objective: it groups <=64
+    near-duplicate rows but scatters the clusters (first-seen emission),
+    leaving columns spread across the id space — good for L2 row reuse,
+    useless for tile density.  Synchronous label propagation makes whole
+    communities contiguous, which concentrates both dimensions at once.
+
+    Deterministic: ties break toward the smaller label; `self_weight`
+    votes for a vertex's own current label damp oscillation.  Cost per
+    iteration is two O(m log m) sorts on (vertex, label) keys.
+
+    With ``degree_sort_within``, vertices sort by (community, -degree):
+    hubs of a community lead its block, which packs the densest tile
+    stripes first (same effect degree_sort has globally, PERF_NOTES.md).
+    """
+    n = g.num_nodes
+    if n == 0:
+        return np.zeros(0, np.int64)
+    dst = g.dst_per_edge.astype(np.int64)
+    src = g.indices.astype(np.int64)
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        key = dst * n + label[src]
+        if self_weight:
+            own = np.arange(n, dtype=np.int64) * n + label
+            key = np.concatenate(
+                [key] + [own] * self_weight
+            )
+        uk, cnt = np.unique(key, return_counts=True)
+        kd = uk // n
+        kl = uk % n
+        # per dst: label with max count; ties -> smaller label.
+        # lexsort (primary last): order by dst, then count asc, then
+        # LARGER label first, so the last entry per dst is (max count,
+        # smallest label among maxima).
+        order = np.lexsort((-kl, cnt, kd))
+        kd_o = kd[order]
+        last = np.r_[kd_o[1:] != kd_o[:-1], True]
+        new_label = label.copy()
+        new_label[kd_o[last]] = kl[order][last]
+        if np.array_equal(new_label, label):
+            break
+        label = new_label
+    # canonical community ranks by first appearance, then order members
+    _, first_idx, inv = np.unique(label, return_index=True, return_inverse=True)
+    rank_of_comm = np.argsort(np.argsort(first_idx))
+    rank = rank_of_comm[inv]
+    if degree_sort_within:
+        in_deg = g.degrees.astype(np.int64)
+        out_deg = np.bincount(g.indices, minlength=g.n_src).astype(np.int64)
+        d = in_deg + out_deg[:n]
+        return np.lexsort((np.arange(n), -d, rank)).astype(np.int64)
+    return np.lexsort((np.arange(n), rank)).astype(np.int64)

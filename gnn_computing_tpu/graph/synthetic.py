@@ -152,6 +152,145 @@ def rmat_graph(
     return CSRGraph.from_edges(dst, src, num_nodes, val=val)
 
 
+def _mix64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized integer hash (splitmix64 finalizer)."""
+    x = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        b.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+    )
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def community_graph(
+    num_nodes: int,
+    num_edges: int,
+    seed: int = 123,
+    with_val: bool = True,
+    p_within: float = 0.85,
+    thread_size: int = 32,
+    overlap: float = 0.75,
+    sigma: float = 0.75,
+    min_comm: int = 2048,
+    max_comm: int = 32768,
+    shuffle: bool = True,
+) -> CSRGraph:
+    """Community-structured graph modeling reddit.dgl's actual shape.
+
+    The RMAT generator reproduces power-law degrees but NOT reddit's
+    defining structure.  reddit.dgl (232,965 posts / 114.6M edges,
+    reference util.py:31,133) is a post co-comment graph: posts cluster
+    by subreddit, and posts in the same discussion share most of their
+    neighbor SETS — which is precisely why the reference's MinHash-LSH
+    reorder at Jaccard 0.2 with cluster cap 64 (cluster2.py, reference
+    README.md:128-134) pays off on it (Figure 9's L2-hit-rate gains).
+    Pure RMAT has no such clusters (measured: LSH reorder gives NO
+    coverage gain over degree sort on RMAT, PERF_NOTES.md), making it a
+    strictly harder stand-in than the graph the V100 baseline was
+    measured on.  This generator reproduces the cluster structure the
+    baseline graph actually has:
+
+      * communities ("subreddits") with Zipf-ish sizes in
+        [min_comm, max_comm], edge budget ~ size^1.1;
+      * per-node degree heterogeneity ~ exp(N(0, sigma));
+      * nodes grouped in "threads" of `thread_size`; a fraction
+        ``overlap`` of each within-community edge is drawn from the
+        thread's shared neighbor pool (hash-defined, storage-free) —
+        thread-mates get near-duplicate neighborhoods (Jaccard ~0.2-0.5,
+        the LSH reorder's working regime);
+      * the rest of within-community edges are uniform in the community;
+      * (1 - p_within) of edges are uniform cross-community noise;
+      * the half-edge list is mirrored (reddit.dgl is symmetric), and
+        node ids are randomly permuted so schedules must DISCOVER the
+        structure via reorder, exactly as the reference does on reddit.
+
+    Deterministic in ``seed``; ~1 min at reddit scale on one host core.
+    """
+    rng = np.random.default_rng(seed)
+    m_pairs = num_edges // 2
+
+    # ---- community sizes: truncated Zipf until nodes are covered
+    sizes = []
+    covered = 0
+    while covered < num_nodes:
+        u = rng.random()
+        s = int(min_comm * (1.0 - u) ** -0.8)  # heavy-ish tail
+        s = min(s, max_comm, num_nodes - covered)
+        sizes.append(s)
+        covered += s
+    sizes = np.array(sizes, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(sizes)])  # [C+1]
+    ncomm = len(sizes)
+
+    # ---- per-community pair budgets ~ size^1.1
+    m_within = int(p_within * m_pairs)
+    w = sizes.astype(np.float64) ** 1.1
+    mc = np.floor(w / w.sum() * m_within).astype(np.int64)
+    mc[: m_within - mc.sum()] += 1  # distribute rounding remainder
+
+    # ---- per-node degree weights and within-edge owner counts
+    z = np.exp(sigma * rng.standard_normal(num_nodes))
+    # per-community: counts c_i = round-to-budget share of z
+    cz = np.add.reduceat(z, offs[:-1])
+    frac = z / np.repeat(cz, sizes)
+    target = frac * np.repeat(mc, sizes)
+    # largest-remainder rounding per community keeps sums exact enough;
+    # simple floor + global top-up is fine for a generator
+    cnt = np.floor(target).astype(np.int64)
+    deficit = int(m_within - cnt.sum())
+    if deficit > 0:
+        extra = np.argsort(-(target - cnt))[:deficit]
+        cnt[extra] += 1
+    elif deficit < 0:
+        donors = np.flatnonzero(cnt > 0)[:(-deficit)]
+        cnt[donors] -= 1
+
+    u_w = np.repeat(np.arange(num_nodes, dtype=np.int64), cnt)
+    comm_of = np.repeat(np.arange(ncomm, dtype=np.int64), sizes)
+    cu = comm_of[u_w]
+    s_cu = sizes[cu]
+    off_cu = offs[cu]
+
+    # ---- neighbor draw: thread pool vs uniform-in-community
+    pool_sz = max(2 * (num_edges // max(num_nodes, 1)), 8)
+    thread_of = (u_w - off_cu) // thread_size + (off_cu // thread_size)
+    from_pool = rng.random(len(u_w)) < overlap
+    r = rng.integers(0, 1 << 62, size=len(u_w))
+    v_pool = off_cu + (
+        _mix64(thread_of, r % pool_sz) % s_cu.astype(np.uint64)
+    ).astype(np.int64)
+    del thread_of
+    v_w = np.where(from_pool, v_pool, off_cu + (r % s_cu))
+    del from_pool, r, v_pool, off_cu, s_cu, cu
+
+    # ---- cross-community noise
+    m_cross = m_pairs - m_within
+    u_x = rng.integers(0, num_nodes, size=m_cross, dtype=np.int64)
+    v_x = rng.integers(0, num_nodes, size=m_cross, dtype=np.int64)
+
+    u = np.concatenate([u_w, u_x])
+    v = np.concatenate([v_w, v_x])
+    # symmetric directed edge list (reddit.dgl stores both directions);
+    # odd num_edges keeps one extra forward edge
+    dst = np.concatenate([u, v, u[: num_edges - 2 * m_pairs]])
+    src = np.concatenate([v, u, v[: num_edges - 2 * m_pairs]])
+
+    if shuffle:
+        perm = rng.permutation(num_nodes).astype(np.int64)
+        dst = perm[dst]
+        src = perm[src]
+
+    val = None
+    if with_val:
+        val = np.random.default_rng(seed + 1).standard_normal(
+            num_edges, dtype=np.float32
+        )
+    return CSRGraph.from_edges(dst, src.astype(np.int32), num_nodes, val=val)
+
+
 def uniform_graph(
     num_nodes: int, num_edges: int, seed: int = 123, with_val: bool = True
 ) -> CSRGraph:

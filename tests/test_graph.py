@@ -115,3 +115,58 @@ def test_plan_and_tile_cost_models():
     t = tile_cost(tp, 64)
     assert t["edges_covered"] == tp.num_dense_edges
     assert t["a_bytes"] > 0 and t["bytes_per_edge"] > 0
+
+
+def test_community_graph_stats_and_determinism():
+    from gnn_computing_tpu.graph.synthetic import community_graph
+
+    g1 = community_graph(3000, 90_000, seed=9, min_comm=256, max_comm=1024)
+    g2 = community_graph(3000, 90_000, seed=9, min_comm=256, max_comm=1024)
+    assert g1.num_nodes == 3000 and g1.num_edges == 90_000
+    np.testing.assert_array_equal(g1.indptr, g2.indptr)
+    np.testing.assert_array_equal(g1.indices, g2.indices)
+    # symmetric half-edges: in-degree ~ out-degree per node
+    out_deg = np.bincount(g1.indices, minlength=3000)
+    assert abs(out_deg.sum() - g1.degrees.sum()) < 2
+
+
+def test_label_propagation_recovers_planted_communities():
+    """LPA reorder must make planted communities contiguous again after a
+    random relabeling (the property the MXU tile path needs)."""
+    from gnn_computing_tpu.graph.reorder import label_propagation_reorder
+    from gnn_computing_tpu.graph.synthetic import community_graph
+
+    n = 3000
+    g = community_graph(
+        n, 120_000, seed=11, min_comm=256, max_comm=1024,
+        p_within=0.9, shuffle=False,
+    )
+    # planted community id per (unshuffled) node: reconstruct from sizes
+    # by regenerating the size sequence
+    rng = np.random.default_rng(11)
+    sizes, covered = [], 0
+    while covered < n:
+        u = rng.random()
+        s = int(256 * (1.0 - u) ** -0.8)
+        s = min(s, 1024, n - covered)
+        sizes.append(s)
+        covered += s
+    planted = np.repeat(np.arange(len(sizes)), sizes)
+
+    shuffle = np.random.default_rng(5).permutation(n)
+    gs = g.reorder(shuffle)  # scrambled ids
+    perm = label_propagation_reorder(gs, degree_sort_within=False)
+    # position of each scrambled vertex in the recovered order
+    pos = np.empty(n, np.int64)
+    pos[perm] = np.arange(n)
+    # planted community of scrambled vertex v is planted[shuffle[v]]
+    comm_of_scrambled = planted[shuffle]
+    spans = []
+    for c in range(len(sizes)):
+        p = np.sort(pos[comm_of_scrambled == c])
+        if len(p) < 10:
+            continue
+        # 90% of members inside a window <= 1.5x community size
+        lo, hi = p[int(0.05 * len(p))], p[int(0.95 * len(p)) - 1]
+        spans.append((hi - lo) / max(len(p), 1))
+    assert np.median(spans) < 1.5, spans
