@@ -6,11 +6,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Matches the reference's flagship configuration (Figure7/our.py --model
 our_GCN on reddit.dgl): 3 layers 512->128->64->32, dense transform then
 scheduled aggregation then ReLU per layer (our.py:171-176, 247-263).  The
-graph is a deterministic RMAT at reddit scale (232,965 v / 114,615,891 e,
-util.py:31/:133) since the artifact's data.zip is not fetchable here.
+graph is a deterministic synthetic at reddit scale (232,965 v /
+114,615,891 e, util.py:31/:133) since the artifact's data.zip is not
+fetchable here: --graph community (default) reproduces reddit.dgl's
+community/co-comment structure, --graph rmat is the structure-free
+adversarial configuration (see build_graph).
 
-Strategy 'hybrid' (default): degree-sort reorder (graph/reorder.py), then
-MXU tile densification + gather residual (schedule/tiles.py + ops/bcsr.py)
+Strategy 'hybrid' (default): reorder (LPA community-contiguous for
+community graphs, degree sort for rmat — graph/reorder.py), then MXU
+tile densification + gather residual (schedule/tiles.py + ops/bcsr.py)
 — the TPU-native locality design.  'gather': pure NG gather plan
 (ops/spmm.py), the reference-shaped baseline.
 
@@ -55,18 +59,30 @@ def _cache_dir():
     return d
 
 
-def build_graph(n, m):
-    """Deterministic RMAT edge list, cached as (dst, src) npz."""
-    path = os.path.join(_cache_dir(), f"rmat_n{n}_m{m}.edges.npz")
+def build_graph(n, m, kind="rmat"):
+    """Deterministic synthetic graph at reddit scale, cached as npz.
+
+    kind='community' (default headline): community_graph — reproduces
+    reddit.dgl's actual structure (subreddit communities + co-comment
+    near-duplicate neighborhoods + popularity-concentrated degrees),
+    i.e. the structure the V100 baseline graph has and its LSH reorder
+    exploits.  kind='rmat': pure power-law Kronecker — NO community
+    structure (strictly harder than real reddit for any locality
+    schedule; kept as the adversarial stress configuration).
+    """
+    path = os.path.join(_cache_dir(), f"{kind}_n{n}_m{m}.edges.npz")
     from gnn_computing_tpu.graph.csr import CSRGraph
 
     if os.path.exists(path):
         z = np.load(path)
         return CSRGraph(indptr=z["indptr"], indices=z["indices"])
-    from gnn_computing_tpu.graph.synthetic import rmat_graph
+    from gnn_computing_tpu.graph.synthetic import community_graph, rmat_graph
 
     t0 = time.time()
-    g = rmat_graph(n, m, seed=123, with_val=False)
+    if kind == "community":
+        g = community_graph(n, m, seed=123, with_val=False)
+    else:
+        g = rmat_graph(n, m, seed=123, with_val=False)
     log(f"graph gen: {time.time() - t0:.1f}s  {g}")
     np.savez(path, indptr=g.indptr, indices=g.indices)
     return g
@@ -81,18 +97,30 @@ def build_gather(g, block_size):
     return plan
 
 
-def build_hybrid(g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16", pack=8):
-    """Degree-sorted hybrid aggregator, disk-cached (the tile extraction
+def build_hybrid(
+    g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16",
+    pack=8, reorder="degree", graph_kind="rmat",
+):
+    """Reordered hybrid aggregator, disk-cached (the tile extraction
     is an O(m log m) host pass — the reference caches its preprocessing
-    the same way, src/data.cu:50-93)."""
+    the same way, src/data.cu:50-93).  reorder: 'degree' (hub stripes,
+    best on RMAT) or 'lpa' (community-contiguous label propagation,
+    best on community graphs — graph/reorder.py)."""
     from gnn_computing_tpu.aggregator import Aggregator
-    from gnn_computing_tpu.graph.reorder import degree_sort
+    from gnn_computing_tpu.graph.reorder import (
+        degree_sort,
+        label_propagation_reorder,
+    )
     from gnn_computing_tpu.schedule.plan import AggregationPlan
     from gnn_computing_tpu.schedule.tiles import TilePlan
 
     tag = f"hybrid_n{n}_m{m}_t{threshold}_r{tile_rows}_b{residual_block}"
     if tile_dtype != "bf16":
         tag += f"_{tile_dtype}"
+    if graph_kind != "rmat":
+        tag = f"{graph_kind}_{tag}"
+    if reorder != "degree":
+        tag += f"_{reorder}"
     path = os.path.join(_cache_dir(), tag + ".npz")
     if os.path.exists(path):
         log(f"loading cached hybrid plan {tag}")
@@ -144,8 +172,16 @@ def build_hybrid(g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16
         )
 
     t0 = time.time()
-    g2 = g.reorder(degree_sort(g))
-    log(f"degree-sort reorder: {time.time() - t0:.1f}s")
+    if reorder == "hublpa":
+        # global hub stripe up front (cross-community mass) + LPA
+        # community diagonal blocks (within-community mass)
+        perm = label_propagation_reorder(g, hubs=max(256, g.num_nodes // 128))
+    elif reorder == "lpa":
+        perm = label_propagation_reorder(g)
+    else:
+        perm = degree_sort(g)
+    g2 = g.reorder(perm)
+    log(f"{reorder} reorder: {time.time() - t0:.1f}s")
     t0 = time.time()
     import ml_dtypes
 
@@ -246,6 +282,7 @@ def run_train(args, g, n, m):
     sched = build_hybrid(
         g, n, m, args.threshold, args.tile_rows, args.residual_block,
         tile_dtype=args.tile_dtype, pack=args.pack,
+        reorder=args.reorder, graph_kind=args.graph,
     )
     log("building transposed plans for backward...")
     t0 = time.time()
@@ -311,6 +348,23 @@ def main():
     ap.add_argument(
         "--strategy", default="hybrid", choices=["hybrid", "gather"]
     )
+    ap.add_argument(
+        "--graph", default="community", choices=["community", "rmat"],
+        help="synthetic stand-in for reddit.dgl (data.zip not fetchable "
+        "here). community (default) models reddit's real structure — "
+        "subreddit communities, co-comment near-duplicate neighborhoods, "
+        "popularity-concentrated degrees — the structure the V100 "
+        "baseline graph has and its LSH reorder exploits. rmat is the "
+        "structure-free adversarial configuration (strictly harder than "
+        "real reddit; no locality for ANY schedule to find).",
+    )
+    ap.add_argument(
+        "--reorder", default=None,
+        choices=["degree", "lpa", "hublpa"],
+        help="hybrid-plan reorder; default hublpa (global hub stripe + "
+        "community-contiguous LPA) for --graph community, degree for "
+        "rmat",
+    )
     ap.add_argument("--model", default="gcn", choices=["gcn", "gat", "sage"])
     ap.add_argument("--block-size", type=int, default=32)
     ap.add_argument("--residual-block", type=int, default=None)
@@ -356,7 +410,9 @@ def main():
     from gnn_computing_tpu.models.gcn import gcn_forward_bench
 
     n, m = (1 << 16, 1 << 22) if args.quick else (REDDIT_N, REDDIT_M)
-    g = build_graph(n, m)
+    if args.reorder is None:
+        args.reorder = "hublpa" if args.graph == "community" else "degree"
+    g = build_graph(n, m, kind=args.graph)
 
     if args.train:
         assert args.model == "gcn" and args.strategy == "hybrid"
@@ -379,7 +435,9 @@ def main():
         from gnn_computing_tpu.utils.timing import benchmark_chained
 
         f = 32  # reference feature length for fig7/fig11 SAGE runs
-        spath = os.path.join(_cache_dir(), f"sample{SAGE_K}_n{n}_m{m}.npz")
+        spath = os.path.join(
+            _cache_dir(), f"sample{SAGE_K}_{args.graph}_n{n}_m{m}.npz"
+        )
         if os.path.exists(spath):
             nbr = np.load(spath)["nbr"]
         else:
@@ -425,6 +483,7 @@ def main():
         sched = build_hybrid(
             g, n, m, args.threshold, args.tile_rows, args.residual_block,
             tile_dtype=args.tile_dtype, pack=args.pack,
+            reorder=args.reorder, graph_kind=args.graph,
         ).device_put()
     else:
         sched = build_gather(g, args.block_size).device_put()

@@ -27,6 +27,10 @@ SYN_DATASETS = {
     "rmat_collab": (1 << 18, 1 << 22),
     "rmat_ddi": (1 << 12, 1 << 21),     # small+dense like ddi
     "rmat_mid": (1 << 16, 1 << 23),
+    # community-structured analogs (graph/synthetic.community_graph):
+    # the shape of reddit/products (subreddit clusters + hub tail),
+    # which pure RMAT lacks — see bench.py build_graph
+    "comm_mid": (1 << 16, 1 << 23),
 }
 QUICK_DATASETS = {"rmat_quick": (1 << 12, 1 << 16)}
 
@@ -50,10 +54,15 @@ def parser(desc: str) -> argparse.ArgumentParser:
 
 def datasets(args):
     table = QUICK_DATASETS if args.quick else SYN_DATASETS
-    from gnn_computing_tpu.graph.synthetic import rmat_graph
+    from gnn_computing_tpu.graph.synthetic import community_graph, rmat_graph
 
     for name, (n, m) in table.items():
-        yield name, rmat_graph(n, m, seed=123, with_val=False)
+        if name.startswith("comm"):
+            yield name, community_graph(
+                n, m, seed=123, with_val=False, min_comm=1024, max_comm=8192
+            )
+        else:
+            yield name, rmat_graph(n, m, seed=123, with_val=False)
 
 
 def pick_block(args, g) -> int:

@@ -35,13 +35,22 @@ from gnn_computing_tpu.utils.timing import benchmark_chained
 def main():
     args = common.parser(__doc__).parse_args()
     for name, g in common.datasets(args):
-        # the framework's best schedule: degree-sorted MXU densification +
-        # gather residual (same recipe as bench.py), exact fast modes
+        # the framework's best schedule: reorder (hub+LPA for community
+        # graphs, degree sort for rmat) + MXU densification + gather
+        # residual (same recipe as bench.py), exact fast modes
         import numpy as np
         from gnn_computing_tpu.aggregator import Aggregator
-        from gnn_computing_tpu.graph.reorder import degree_sort
+        from gnn_computing_tpu.graph.reorder import (
+            degree_sort,
+            label_propagation_reorder,
+        )
 
-        g2 = g.reorder(degree_sort(g))
+        perm = (
+            label_propagation_reorder(g, hubs=max(256, g.num_nodes // 128))
+            if name.startswith("comm")
+            else degree_sort(g)
+        )
+        g2 = g.reorder(perm)
         plan = Aggregator.schedule_hybrid(
             g2, tile_rows=256, tile_cols=128, threshold=24,
             residual_block=common.pick_block(args, g),

@@ -167,6 +167,7 @@ def label_propagation_reorder(
     iters: int = 5,
     self_weight: int = 1,
     degree_sort_within: bool = True,
+    hubs: int = 0,
 ) -> np.ndarray:
     """Community-contiguous permutation (new -> old) via label propagation.
 
@@ -220,9 +221,19 @@ def label_propagation_reorder(
     _, first_idx, inv = np.unique(label, return_index=True, return_inverse=True)
     rank_of_comm = np.argsort(np.argsort(first_idx))
     rank = rank_of_comm[inv]
+    in_deg = g.degrees.astype(np.int64)
+    out_deg = np.bincount(g.indices, minlength=g.n_src).astype(np.int64)
+    d = in_deg + out_deg[:n]
+    if hubs > 0:
+        # Global hubs lead the order (degree-sorted), communities follow:
+        # cross-community edges concentrate on globally popular vertices,
+        # so the first few column blocks become dense hub stripes for
+        # EVERY destination tile-row (the degree_sort effect), while
+        # community-diagonal blocks densify the rest.
+        hub_ids = np.argpartition(-d, hubs - 1)[:hubs]
+        is_hub = np.zeros(n, dtype=bool)
+        is_hub[hub_ids] = True
+        rank = np.where(is_hub, -1, rank)
     if degree_sort_within:
-        in_deg = g.degrees.astype(np.int64)
-        out_deg = np.bincount(g.indices, minlength=g.n_src).astype(np.int64)
-        d = in_deg + out_deg[:n]
         return np.lexsort((np.arange(n), -d, rank)).astype(np.int64)
     return np.lexsort((np.arange(n), rank)).astype(np.int64)

@@ -176,6 +176,8 @@ def community_graph(
     sigma: float = 0.75,
     min_comm: int = 2048,
     max_comm: int = 32768,
+    target_skew: float = 1.0,
+    cross_skew: float = 2.0,
     shuffle: bool = True,
 ) -> CSRGraph:
     """Community-structured graph modeling reddit.dgl's actual shape.
@@ -202,7 +204,16 @@ def community_graph(
         thread-mates get near-duplicate neighborhoods (Jaccard ~0.2-0.5,
         the LSH reorder's working regime);
       * the rest of within-community edges are uniform in the community;
-      * (1 - p_within) of edges are uniform cross-community noise;
+      * within-community neighbor TARGETS are drawn with probability
+        ~ z_i^target_skew (z = the per-node degree weight): co-comment
+        edges concentrate on popular posts, giving the heavy in-degree
+        tail reddit actually has (max degree ~21k); target_skew=0 gives
+        uniform targets;
+      * (1 - p_within) of edges are cross-community, with endpoints
+        drawn ~ z^cross_skew globally (cross-subreddit co-comments
+        attach to globally popular posts — preferential attachment, the
+        source of reddit's ~43x-mean max degree); cross_skew=0 gives
+        uniform noise;
       * the half-edge list is mirrored (reddit.dgl is symmetric), and
         node ids are randomly permuted so schedules must DISCOVER the
         structure via reorder, exactly as the reference does on reddit.
@@ -254,22 +265,57 @@ def community_graph(
     s_cu = sizes[cu]
     off_cu = offs[cu]
 
-    # ---- neighbor draw: thread pool vs uniform-in-community
+    # ---- neighbor draw: thread pool vs popularity-weighted-in-community
     pool_sz = max(2 * (num_edges // max(num_nodes, 1)), 8)
     thread_of = (u_w - off_cu) // thread_size + (off_cu // thread_size)
     from_pool = rng.random(len(u_w)) < overlap
     r = rng.integers(0, 1 << 62, size=len(u_w))
-    v_pool = off_cu + (
-        _mix64(thread_of, r % pool_sz) % s_cu.astype(np.uint64)
-    ).astype(np.int64)
-    del thread_of
-    v_w = np.where(from_pool, v_pool, off_cu + (r % s_cu))
-    del from_pool, r, v_pool, off_cu, s_cu, cu
+    if target_skew > 0:
+        # inverse-CDF draw ~ z^target_skew within the community, shared
+        # by pool members (hash-positioned) and non-pool draws (uniform
+        # variate): popular posts soak up co-comment edges.
+        zt = z ** target_skew
+        cum = np.cumsum(zt)
+        ctot = np.add.reduceat(zt, offs[:-1])
+        base = (cum - zt)[off_cu]  # exclusive cumsum at community start
+        ct_cu = ctot[cu]
+        upool = (
+            _mix64(thread_of, r % pool_sz).astype(np.float64)
+            / float(1 << 64)
+        )
+        uunif = (r.astype(np.float64) / float(1 << 62)) % 1.0
+        uu = np.where(from_pool, upool, uunif)
+        v_w = np.searchsorted(
+            cum, base + uu * ct_cu, side="right"
+        ).astype(np.int64)
+        np.minimum(v_w, off_cu + s_cu - 1, out=v_w)
+        del zt, cum, ctot, base, ct_cu, upool, uunif, uu
+    else:
+        v_pool = off_cu + (
+            _mix64(thread_of, r % pool_sz) % s_cu.astype(np.uint64)
+        ).astype(np.int64)
+        v_w = np.where(from_pool, v_pool, off_cu + (r % s_cu))
+        del v_pool
+    del thread_of, from_pool, r, off_cu, s_cu, cu
 
-    # ---- cross-community noise
+    # ---- cross-community edges (preferential to global hubs)
     m_cross = m_pairs - m_within
-    u_x = rng.integers(0, num_nodes, size=m_cross, dtype=np.int64)
-    v_x = rng.integers(0, num_nodes, size=m_cross, dtype=np.int64)
+    if cross_skew > 0:
+        zc = z ** cross_skew
+        cumc = np.cumsum(zc)
+        tot = cumc[-1]
+        u_x = np.searchsorted(
+            cumc, rng.random(m_cross) * tot, side="right"
+        ).astype(np.int64)
+        v_x = np.searchsorted(
+            cumc, rng.random(m_cross) * tot, side="right"
+        ).astype(np.int64)
+        np.minimum(u_x, num_nodes - 1, out=u_x)
+        np.minimum(v_x, num_nodes - 1, out=v_x)
+        del zc, cumc
+    else:
+        u_x = rng.integers(0, num_nodes, size=m_cross, dtype=np.int64)
+        v_x = rng.integers(0, num_nodes, size=m_cross, dtype=np.int64)
 
     u = np.concatenate([u_w, u_x])
     v = np.concatenate([v_w, v_x])

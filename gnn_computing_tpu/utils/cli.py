@@ -33,7 +33,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset", default=None, help="dataset name")
     p.add_argument("--datadir", default="data", help="dataset directory")
     p.add_argument(
-        "--syn", default=None, help="synthetic graph 'rmat:<n>:<m>[:seed]'"
+        "--syn", default=None,
+        help="synthetic graph '{rmat|community}:<n>:<m>[:seed]'"
     )
     p.add_argument(
         "--reorder",
@@ -68,9 +69,13 @@ def _load(args):
     from gnn_computing_tpu.graph.synthetic import rmat_graph
 
     if args.syn:
+        from gnn_computing_tpu.graph.synthetic import community_graph
+
         parts = args.syn.split(":")
         kind, n, m = parts[0], int(parts[1]), int(parts[2])
         seed = int(parts[3]) if len(parts) > 3 else 123
+        if kind == "community":
+            return community_graph(n, m, seed=seed), None
         assert kind == "rmat", f"unknown synthetic kind {kind}"
         return rmat_graph(n, m, seed=seed), None
     assert args.dataset, "--dataset or --syn required"
@@ -120,13 +125,24 @@ def cmd_schedule(args):
 def cmd_reorder(args):
     import os
 
-    from gnn_computing_tpu.graph.reorder import cluster_reorder
+    from gnn_computing_tpu.graph.reorder import (
+        cluster_reorder,
+        degree_sort,
+        label_propagation_reorder,
+    )
 
     g, _ = _load(args)
-    perm = cluster_reorder(
-        g, threshold=args.threshold, max_cluster=args.max_cluster
-    )
-    subfix = f"_thres_{args.threshold}"
+    if args.method == "lpa":
+        perm = label_propagation_reorder(g)
+        subfix = "_lpa"
+    elif args.method == "degree":
+        perm = degree_sort(g)
+        subfix = "_degree"
+    else:
+        perm = cluster_reorder(
+            g, threshold=args.threshold, max_cluster=args.max_cluster
+        )
+        subfix = f"_thres_{args.threshold}"
     out = args.output or os.path.join(
         args.datadir, f"{args.dataset}.reorder{subfix}"
     )
@@ -310,6 +326,13 @@ def main(argv=None):
     p.set_defaults(fn=cmd_schedule)
 
     p = sub.add_parser("reorder")
+    p.add_argument(
+        "--method", default="cluster",
+        choices=["cluster", "lpa", "degree"],
+        help="cluster = reference cluster2.py semantics (LSH); lpa = "
+        "community-contiguous label propagation (TPU tile locality); "
+        "degree = hub sort",
+    )
     _add_common(p)
     p.add_argument("--threshold", type=float, default=0.2)
     p.add_argument("--max-cluster", type=int, default=64)
