@@ -506,6 +506,7 @@ def main():
         "f16": jnp.float16,
         "bf16": jnp.bfloat16,
         "bf16_split2": "bf16_split2",
+        "f16_split2": "f16_split2",
     }[args.residual_dtype]
     if args.model == "gat":
         params = init_gat_params(jax.random.key(0), BENCH_DIMS)
