@@ -385,7 +385,10 @@ def main():
     # tiles, threshold 24, residual block 4, pack 16 — PERF_NOTES.md
     # cost models; best for both GCN and GAT at reddit scale).
     ap.add_argument("--threshold", type=int, default=None)
-    ap.add_argument("--tile-rows", type=int, default=256)
+    # R=512 tall tiles: same ~24-edge threshold over 4x tile area raises
+    # coverage 97.5 -> 98.8%, halving the residual wall (measured 148.2 ->
+    # 123.7 ms GCN; R=1024/t32 ties at 125.3 — see PERF_NOTES session 8)
+    ap.add_argument("--tile-rows", type=int, default=512)
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
     ap.add_argument("--pack", type=int, default=None)
     ap.add_argument(
@@ -484,7 +487,7 @@ def main():
         return
 
     # per-model plan defaults (see --threshold help); measured at reddit
-    # scale: GCN t24 148ms (t96: 203); GAT t24 416ms (t96: 558)
+    # scale (r512): GCN t24 123.7ms; r256: GCN 148ms, GAT 386ms
     if args.threshold is None:
         args.threshold = 24
     if args.residual_block is None:
