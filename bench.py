@@ -40,11 +40,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REDDIT_N, REDDIT_M = 232_965, 114_615_891
+# products: the reference's largest graph (util.py:33/:143)
+PRODUCTS_N, PRODUCTS_M = 2_449_029, 123_718_280
 BASELINE_EDGES_PER_S = 3 * REDDIT_M / 0.058089  # V100 GCN, draw_fig7.py:68
 BASELINE_GAT_EDGES_PER_S = 3 * REDDIT_M / 0.055538  # V100 GAT, draw_fig7.py:75
 SAGE_K = 16  # fixed-16-neighbor sampled graphs, run_our.sh:16-20
 # V100 SAGE-LSTM reddit 0.014204 s (draw_fig7.py:84); edges = n*k
 BASELINE_SAGE_EDGES_PER_S = 232_965 * SAGE_K / 0.014204
+# V100 times at products scale (draw_fig7.py:68/:75); SAGE-LSTM OOMs on
+# V100 at products (draw_fig7.py:84 '0') — we use the reddit rate as the
+# (conservative) proxy denominator there
+SCALE_BASELINES = {
+    "reddit": {
+        "gcn": BASELINE_EDGES_PER_S,
+        "spmm": BASELINE_EDGES_PER_S,
+        "sddmm": BASELINE_EDGES_PER_S,
+        "gat": BASELINE_GAT_EDGES_PER_S,
+        "sage": BASELINE_SAGE_EDGES_PER_S,
+    },
+    "products": {
+        "gcn": 3 * PRODUCTS_M / 0.092553,
+        "spmm": 3 * PRODUCTS_M / 0.092553,
+        "sddmm": 3 * PRODUCTS_M / 0.092553,
+        "gat": 3 * PRODUCTS_M / 0.113309,
+        "sage": BASELINE_SAGE_EDGES_PER_S,
+    },
+}
 
 
 def log(*a):
@@ -378,7 +399,16 @@ def main():
         "community-contiguous LPA) for --graph community, degree for "
         "rmat",
     )
-    ap.add_argument("--model", default="gcn", choices=["gcn", "gat", "sage"])
+    ap.add_argument(
+        "--model", default="gcn",
+        choices=["gcn", "gat", "sage", "spmm", "sddmm"],
+        help="gcn/gat/sage = 3-layer model forwards (fig7 analogs). "
+        "spmm/sddmm = the BASELINE.json north-star kernel metrics: one "
+        "aggregation pass at f=128 (spmm, hybrid plan) / per-edge feature "
+        "dots at f=32 over all edges (sddmm, NG gather plan — the TPU "
+        "per-edge-output floor is the slot gather; the production GAT "
+        "path never materializes per-edge scores, see --model gat).",
+    )
     ap.add_argument("--block-size", type=int, default=32)
     ap.add_argument("--residual-block", type=int, default=None)
     # defaults = the measured-best single-chip configs (int8 count
@@ -409,6 +439,12 @@ def main():
         "mantissa bits, passes the 1e-2/1e-5 gate (tests/test_tiles.py). "
         "exact = f32 residual + split3 tiles everywhere.",
     )
+    ap.add_argument(
+        "--scale", default="reddit", choices=["reddit", "products"],
+        help="graph scale: reddit (232,965 v / 114.6M e, the headline) or "
+        "products (2,449,029 v / 123.7M e — the reference's largest graph, "
+        "util.py:33/:143); baselines switch to the matching V100 column",
+    )
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -425,7 +461,13 @@ def main():
     from gnn_computing_tpu.models.gat import gat_forward
     from gnn_computing_tpu.models.gcn import gcn_forward_bench
 
-    n, m = (1 << 16, 1 << 22) if args.quick else (REDDIT_N, REDDIT_M)
+    if args.quick:
+        n, m = 1 << 16, 1 << 22
+    elif args.scale == "products":
+        n, m = PRODUCTS_N, PRODUCTS_M
+    else:
+        n, m = REDDIT_N, REDDIT_M
+    baselines = SCALE_BASELINES[args.scale]
     if args.reorder is None:
         args.reorder = "hublpa" if args.graph == "community" else "degree"
     g = build_graph(n, m, kind=args.graph)
@@ -479,10 +521,44 @@ def main():
         log(f"sage aggregate: {r.min_s * 1e3:.2f} ms")
         eps = n * SAGE_K / r.min_s
         print(json.dumps({
-            "metric": "sagelstm_reddit_scale_edges_per_s_per_chip",
+            "metric": f"sagelstm_{args.scale}_scale_edges_per_s_per_chip",
             "value": eps,
             "unit": "edges/s",
-            "vs_baseline": eps / BASELINE_SAGE_EDGES_PER_S,
+            "vs_baseline": eps / baselines["sage"],
+        }))
+        return
+
+    if args.model == "sddmm":
+        # North-star "SDDMM edges/s/chip on reddit": per-edge feature dots
+        # val[e] = <a[src_e], b[dst_e]> (aggr_sddmm.h:5-43 semantics) at
+        # the reference's kernel-figure feature length 32, slot-layout
+        # output over ALL edges.  vs_baseline uses the V100 per-pass SpMM
+        # anchor as proxy (the reference publishes no standalone SDDMM
+        # number; its SDDMM shares the SpMM's per-edge traffic shape).
+        from gnn_computing_tpu.ops.spmm import sddmm_slots_xla
+        from gnn_computing_tpu.utils.timing import benchmark_chained
+
+        f = 32
+        plan = build_gather(g, args.block_size).device_put()
+        a = jnp.asarray(normal_features(n, f, seed=3) * 0.1)
+        b = jnp.asarray(normal_features(n, f, seed=4) * 0.1)
+        gdt = "f16_split2" if args.layer_config == "fast" else None
+        log("compiling + warmup...")
+        r = benchmark_chained(
+            lambda aa, p, bb: sddmm_slots_xla(p, aa, bb, gather_dtype=gdt),
+            a, plan, b, iters=args.iters, reps=3,
+        )
+        log(f"first call: {r.compile_s:.1f}s")
+        log(f"sddmm pass: {r.min_s * 1e3:.2f} ms")
+        eps = m / r.min_s
+        print(json.dumps({
+            "metric": f"sddmm_{args.scale}_scale_edges_per_s_per_chip",
+            "value": eps,
+            "unit": "edges/s",
+            # the gcn baseline counts 3 passes' edges over the full
+            # forward, which equals the V100 per-pass rate (transforms
+            # are a negligible share of its forward)
+            "vs_baseline": eps / baselines["sddmm"],
         }))
         return
 
@@ -511,6 +587,28 @@ def main():
         "bf16_split2": "bf16_split2",
         "f16_split2": "f16_split2",
     }[args.residual_dtype]
+    if args.model == "spmm":
+        # North-star "SpMM edges/s/chip on reddit": ONE aggregation pass
+        # out = A @ h at f=128 on the headline plan (no transforms) —
+        # m/t against the V100 per-pass rate.
+        from gnn_computing_tpu.utils.timing import benchmark_chained
+
+        h = jnp.asarray(normal_features(n, 128, seed=123) * 0.1)
+        log("compiling + warmup...")
+        r = benchmark_chained(
+            lambda hh, s: s.run(hh, residual_gather_dtype=rdt),
+            h, sched, iters=args.iters, reps=3,
+        )
+        log(f"first call: {r.compile_s:.1f}s")
+        log(f"spmm pass: {r.min_s * 1e3:.2f} ms")
+        eps = m / r.min_s
+        print(json.dumps({
+            "metric": f"spmm_{args.scale}_scale_edges_per_s_per_chip",
+            "value": eps,
+            "unit": "edges/s",
+            "vs_baseline": eps / baselines["spmm"],
+        }))
+        return
     if args.model == "gat":
         params = init_gat_params(jax.random.key(0), BENCH_DIMS)
         gat_fast = (
@@ -552,16 +650,12 @@ def main():
     log(f"forward: {best * 1e3:.2f} ms")
 
     edges_per_s = 3 * m / best
-    base = (
-        BASELINE_GAT_EDGES_PER_S
-        if args.model == "gat"
-        else BASELINE_EDGES_PER_S
-    )
+    base = baselines[args.model]
     print(
         json.dumps(
             {
                 "metric": (
-                    f"{args.model}3_reddit_scale_edges_per_s_per_chip"
+                    f"{args.model}3_{args.scale}_scale_edges_per_s_per_chip"
                 ),
                 "value": edges_per_s,
                 "unit": "edges/s",

@@ -23,13 +23,16 @@ def sddmm(
     b: jnp.ndarray,
     output: str = "edges",
     strategy: str = "auto",
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """out[e] = <a[src_e], b[dst_e]>.
 
     output='slots' returns [num_tasks_padded, B] (pad slots zero);
     output='edges' returns [num_edges] in original CSR order.
+    gather_dtype: source-gather numeric mode (see sddmm_slots_xla);
+    '*_split2' modes are exact 16-bit-table reconstructions.
     """
-    slots = sddmm_slots_xla(plan, a, b)
+    slots = sddmm_slots_xla(plan, a, b, gather_dtype=gather_dtype)
     if output == "slots":
         return slots
     assert output == "edges"

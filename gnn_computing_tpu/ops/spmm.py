@@ -173,16 +173,45 @@ def spmm_transpose_xla(
 
 
 def sddmm_slots_xla(
-    plan: AggregationPlan, a: jnp.ndarray, b: jnp.ndarray
+    plan: AggregationPlan, a: jnp.ndarray, b: jnp.ndarray,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Per-slot dot products: out[t, s] = <a[src[t, s]], b[dst[t]]>, zero in
     pad slots.  Semantics of reference aggr_sddmm (aggr_sddmm.h:5-43).
-    Flat-gather form for XLA fusion (PERF_NOTES.md)."""
+    Flat-gather form for XLA fusion (PERF_NOTES.md).
+
+    gather_dtype: same ladder as weighted_task_sums — the per-slot source
+    gather is the cost (the dst side is a per-TASK take); '*_split2' gathers
+    one [n, 2f] 16-bit residue table and reconstructs in f32 before the dot
+    (fast-path while 2f <= 128 lanes).  The dot CANCELS, which amplifies
+    residue rounding: f16_split2 (21 mantissa bits) passes the 1e-2/1e-5
+    gate; bf16_split2 (16 bits) does NOT reliably (measured 14/300k bad on
+    TPU with N(0,1) inputs) — use f16_split2 for validated paths."""
     nt, bsz = plan.src.shape
     f = a.shape[-1]
-    ga = jnp.take(a, jnp.asarray(plan.src).reshape(-1), axis=0)  # [nt*B, f]
+    src_flat = jnp.asarray(plan.src).reshape(-1)
+    if gather_dtype in ("bf16_split2", "f16_split2"):
+        if gather_dtype == "f16_split2":
+            af = a.astype(jnp.float32)
+            hi = jax.lax.reduce_precision(af, 5, 10).astype(jnp.float16)
+            lo = (af - hi.astype(jnp.float32)).astype(jnp.float16)
+        else:
+            from gnn_computing_tpu.ops.pallas_bcsr import (
+                bf16_residue_chunks,
+            )
+
+            hi, lo = bf16_residue_chunks(a.astype(jnp.float32), 2)
+        aa = jnp.concatenate([hi, lo], axis=1)  # [n, 2f] 16-bit
+        g = jnp.take(aa, src_flat, axis=0)
+        ga = g[:, :f].astype(jnp.float32) + g[:, f:].astype(jnp.float32)
+    elif gather_dtype is not None:
+        ga = jnp.take(a.astype(gather_dtype), src_flat, axis=0)
+    else:
+        ga = jnp.take(a, src_flat, axis=0)  # [nt*B, f]
     gb = jnp.take(b, jnp.asarray(plan.dst), axis=0)  # [nt, f]
-    out = (ga.reshape(nt, bsz, f) * gb[:, None, :]).sum(axis=-1)
+    out = (
+        ga.reshape(nt, bsz, f).astype(b.dtype) * gb[:, None, :]
+    ).sum(axis=-1)
     return jnp.where(plan.slot_mask(), out, 0.0)
 
 

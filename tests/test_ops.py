@@ -125,6 +125,23 @@ def test_sddmm_matches_dense(small_rmat, mk):
     assert_valid(got, want, what="sddmm")
 
 
+@pytest.mark.parametrize("gdt", ["f16_split2"])
+def test_sddmm_split2_gather_matches_dense(small_rmat, gdt):
+    # the fast-exact source-gather mode (21-bit f16 residue table) must
+    # pass the strict gate on SIGNED inputs.  Dots CANCEL: bf16_split2's
+    # 16 bits measurably fail the gate on TPU (14/300k bad, N(0,1)
+    # inputs) and are not a validated sddmm mode
+    g = small_rmat
+    plan = neighbor_grouping_plan(g, 8).device_put()
+    a = normal_features(g.n_src, 8, seed=6)
+    b = normal_features(g.num_nodes, 8, seed=7)
+    got = np.asarray(
+        sddmm(plan, jnp.asarray(a), jnp.asarray(b), gather_dtype=gdt)
+    )
+    want = ref.sddmm_dense(g, a, b)
+    assert_valid(got, want, what=f"sddmm[{gdt}]")
+
+
 def test_gat_aggregate_matches_dense(small_rmat):
     g = small_rmat
     plan = neighbor_grouping_plan(g, 8).device_put()
