@@ -418,7 +418,7 @@ def main():
     # R=512 tall tiles: same ~24-edge threshold over 4x tile area raises
     # coverage 97.5 -> 98.8%, halving the residual wall (measured 148.2 ->
     # 123.7 ms GCN; R=1024/t32 ties at 125.3 — see PERF_NOTES session 8)
-    ap.add_argument("--tile-rows", type=int, default=512)
+    ap.add_argument("--tile-rows", type=int, default=None)
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
     ap.add_argument("--pack", type=int, default=None)
     ap.add_argument(
@@ -477,6 +477,8 @@ def main():
         # per-model plan defaults resolved below are needed here too
         if args.threshold is None:
             args.threshold = 24
+        if args.tile_rows is None:
+            args.tile_rows = 512
         if args.residual_block is None:
             args.residual_block = 4
         if args.pack is None:
@@ -535,7 +537,7 @@ def main():
         # output over ALL edges.  vs_baseline uses the V100 per-pass SpMM
         # anchor as proxy (the reference publishes no standalone SDDMM
         # number; its SDDMM shares the SpMM's per-edge traffic shape).
-        from gnn_computing_tpu.ops.spmm import sddmm_slots_xla
+        from gnn_computing_tpu.ops.spmm import sddmm_slots_chunked
         from gnn_computing_tpu.utils.timing import benchmark_chained
 
         f = 32
@@ -544,8 +546,12 @@ def main():
         b = jnp.asarray(normal_features(n, f, seed=4) * 0.1)
         gdt = "f16_split2" if args.layer_config == "fast" else None
         log("compiling + warmup...")
+        # chunked: the split2 reconstruct materializes its chunk's gather
+        # ([chunk*B, 2f]); unchunked at 118M slots is a 30 GB intermediate
         r = benchmark_chained(
-            lambda aa, p, bb: sddmm_slots_xla(p, aa, bb, gather_dtype=gdt),
+            lambda aa, p, bb: sddmm_slots_chunked(
+                p, aa, bb, gather_dtype=gdt
+            ),
             a, plan, b, iters=args.iters, reps=3,
         )
         log(f"first call: {r.compile_s:.1f}s")
@@ -563,9 +569,21 @@ def main():
         return
 
     # per-model plan defaults (see --threshold help); measured at reddit
-    # scale (r512): GCN t24 123.7ms; r256: GCN 148ms, GAT 386ms
+    # scale (r512): GCN t24 123.7ms; r256: GCN 148ms, GAT 386ms.
+    # products (mean degree 50 vs reddit's 492) needs MUCH sparser tiling:
+    # t24/r512 yields 530k tiles = 34.7 GB of A and overflows the 1 MiB
+    # SMEM scalar-prefetch ceiling (~260k tiles); the host cost model
+    # (probes/products_plan_curve.py) picks r1024/t384 as the best plan
+    # that fits — products is residual-gather-dominated at ANY geometry.
+    if args.scale == "products":
+        if args.threshold is None:
+            args.threshold = 384
+        if args.tile_rows is None:
+            args.tile_rows = 1024
     if args.threshold is None:
         args.threshold = 24
+    if args.tile_rows is None:
+        args.tile_rows = 512
     if args.residual_block is None:
         args.residual_block = 4
     if args.pack is None:
@@ -594,9 +612,14 @@ def main():
         from gnn_computing_tpu.utils.timing import benchmark_chained
 
         h = jnp.asarray(normal_features(n, 128, seed=123) * 0.1)
+        # fast layer config = split2 (16-bit residue) tile operands —
+        # exact for integer-count tiles (models.gcn.fast_layer_opts)
+        thm = "split" if args.layer_config == "fast" else "auto"
         log("compiling + warmup...")
         r = benchmark_chained(
-            lambda hh, s: s.run(hh, residual_gather_dtype=rdt),
+            lambda hh, s: s.run(
+                hh, residual_gather_dtype=rdt, tile_h_mode=thm
+            ),
             h, sched, iters=args.iters, reps=3,
         )
         log(f"first call: {r.compile_s:.1f}s")

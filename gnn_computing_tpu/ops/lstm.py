@@ -70,6 +70,7 @@ def lstm_aggregate(
     nbr: jnp.ndarray,  # int32[n, k] t-th sampled neighbor of each vertex
     strategy: str = "redundancy_bypass",
     gate_gather_dtype=None,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run the k-step neighbor LSTM; returns final hidden state [n, f].
 
@@ -85,7 +86,12 @@ def lstm_aggregate(
     gate rows in this dtype — 16-bit rows issue ~2x faster than f32
     (PERF_NOTES.md) and LSTM gates are CONTRACTIVE (sigmoid/tanh bound
     the derivative), so the f16 single rounding (~5e-4) stays well inside
-    the 1e-2 validation gate (tests/test_sage_lstm.py)."""
+    the 1e-2 validation gate (tests/test_sage_lstm.py).
+
+    unroll: lax.scan unroll factor.  Only the (h, c) recurrence is
+    sequential — each step's gate-row GATHER is independent, so an
+    unrolled body lets XLA issue step t+1's gather while step t's
+    h-GEMM/gate math runs."""
     n, k = nbr.shape
     f = params.wh.shape[0]
     h0 = jnp.zeros((n, f), x.dtype)
@@ -106,7 +112,7 @@ def lstm_aggregate(
             h, c = lstm_cell(gx, gh, params.b, h, c)
             return (h, c), None
 
-        (h, _), _ = lax.scan(step, (h0, c0), nbr_t)
+        (h, _), _ = lax.scan(step, (h0, c0), nbr_t, unroll=unroll)
         return h
 
     if strategy == "sparse_fetch":

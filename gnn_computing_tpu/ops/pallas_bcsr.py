@@ -59,6 +59,13 @@ def _tpu_available() -> bool:
     return _PALLAS_OK
 
 
+# SMEM is 1 MiB; the packed (row, col) scalar-prefetch array costs 4 B per
+# tile, so plans beyond ~260k tiles cannot compile (measured: 530k tiles ->
+# "Allocation (size=2121728) would exceed memory (size=1048576)" in smem).
+# Leave headroom for Mosaic's own SMEM use.
+SMEM_TILE_LIMIT = 245_760
+
+
 def supported(tp: TilePlan, h) -> bool:
     return (
         _tpu_available()
@@ -66,6 +73,7 @@ def supported(tp: TilePlan, h) -> bool:
         and tp.tile_rows % 8 == 0
         and tp.tile_cols % 128 == 0
         and h.shape[-1] >= 8
+        and tp.a.shape[0] <= SMEM_TILE_LIMIT
     )
 
 

@@ -215,6 +215,89 @@ def sddmm_slots_xla(
     return jnp.where(plan.slot_mask(), out, 0.0)
 
 
+def sddmm_slots_chunked(
+    plan: AggregationPlan,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    gather_dtype=None,
+    chunk_tasks: int = 1 << 18,
+) -> jnp.ndarray:
+    """sddmm_slots_xla in task-axis chunks via lax.map.
+
+    The '*_split2' reconstruct (hi/lo slice-add) MATERIALIZES the gathered
+    [slots, 2f] table (PERF_NOTES: the two slices are two consumers), which
+    at reddit scale (118M slots) is a 30 GB intermediate — OOM.  Chunking
+    bounds the peak at [chunk_tasks*B, 2f] while keeping each chunk's
+    gather fused; use for full-edge-set SDDMM on large graphs."""
+    nt, bsz = plan.src.shape
+    f = a.shape[-1]
+    if nt <= chunk_tasks:
+        return sddmm_slots_xla(plan, a, b, gather_dtype=gather_dtype)
+    n_chunks = -(-nt // chunk_tasks)
+    nt_pad = n_chunks * chunk_tasks
+    src = jnp.asarray(plan.src)
+    dst = jnp.asarray(plan.dst)
+    count = jnp.asarray(plan.count)
+    if nt_pad != nt:
+        src = jnp.pad(src, ((0, nt_pad - nt), (0, 0)))
+        dst = jnp.pad(dst, (0, nt_pad - nt))
+        count = jnp.pad(count, (0, nt_pad - nt))
+
+    if gather_dtype in ("bf16_split2", "f16_split2"):
+        if gather_dtype == "f16_split2":
+            af = a.astype(jnp.float32)
+            hi = jax.lax.reduce_precision(af, 5, 10).astype(jnp.float16)
+            lo = (af - hi.astype(jnp.float32)).astype(jnp.float16)
+        else:
+            from gnn_computing_tpu.ops.pallas_bcsr import (
+                bf16_residue_chunks,
+            )
+
+            hi, lo = bf16_residue_chunks(a.astype(jnp.float32), 2)
+        tbl = jnp.concatenate([hi, lo], axis=1)  # [n, 2f]
+
+        def chunk(args):
+            s, d, c = args
+            g = jnp.take(tbl, s.reshape(-1), axis=0)
+            ga = g[:, :f].astype(jnp.float32) + g[:, f:].astype(
+                jnp.float32
+            )
+            gbk = jnp.take(b, d, axis=0)
+            o = (
+                ga.reshape(chunk_tasks, bsz, f) * gbk[:, None, :]
+            ).sum(axis=-1)
+            mask = (
+                jnp.arange(bsz, dtype=c.dtype)[None, :] < c[:, None]
+            )
+            return jnp.where(mask, o, 0.0)
+
+    else:
+        aa = a.astype(gather_dtype) if gather_dtype is not None else a
+
+        def chunk(args):
+            s, d, c = args
+            ga = jnp.take(aa, s.reshape(-1), axis=0)
+            gbk = jnp.take(b, d, axis=0)
+            o = (
+                ga.reshape(chunk_tasks, bsz, f).astype(b.dtype)
+                * gbk[:, None, :]
+            ).sum(axis=-1)
+            mask = (
+                jnp.arange(bsz, dtype=c.dtype)[None, :] < c[:, None]
+            )
+            return jnp.where(mask, o, 0.0)
+
+    out = jax.lax.map(
+        chunk,
+        (
+            src.reshape(n_chunks, chunk_tasks, bsz),
+            dst.reshape(n_chunks, chunk_tasks),
+            count.reshape(n_chunks, chunk_tasks),
+        ),
+    )
+    return out.reshape(nt_pad, bsz)[:nt]
+
+
 # ------------------------------------------- transposed-plan backward (fast)
 @jax.custom_vjp
 def spmm_bidir(

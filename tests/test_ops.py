@@ -142,6 +142,28 @@ def test_sddmm_split2_gather_matches_dense(small_rmat, gdt):
     assert_valid(got, want, what=f"sddmm[{gdt}]")
 
 
+@pytest.mark.parametrize("gdt", [None, "f16_split2"])
+def test_sddmm_chunked_matches_unchunked(small_rmat, gdt):
+    # the memory-bounded task-chunked form (used for full-edge-set SDDMM
+    # at reddit scale, where the split2 reconstruct would otherwise
+    # materialize a 30 GB intermediate) must agree slot-for-slot
+    from gnn_computing_tpu.ops.spmm import (
+        sddmm_slots_chunked,
+        sddmm_slots_xla,
+    )
+
+    g = small_rmat
+    plan = neighbor_grouping_plan(g, 8).device_put()
+    a = jnp.asarray(normal_features(g.n_src, 8, seed=6))
+    b = jnp.asarray(normal_features(g.num_nodes, 8, seed=7))
+    whole = np.asarray(sddmm_slots_xla(plan, a, b, gather_dtype=gdt))
+    chunked = np.asarray(
+        sddmm_slots_chunked(plan, a, b, gather_dtype=gdt, chunk_tasks=37)
+    )
+    # fusion/association differs between the forms: tiny f32 noise only
+    np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-6)
+
+
 def test_gat_aggregate_matches_dense(small_rmat):
     g = small_rmat
     plan = neighbor_grouping_plan(g, 8).device_put()
