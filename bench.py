@@ -271,8 +271,11 @@ def add_transpose(agg, pack):
     from gnn_computing_tpu.schedule import make_plan
 
     plan = agg.plan
-    # reconstruct the residual edge list from the slot grid
-    src = np.asarray(plan.src)
+    # reconstruct the residual edge list from the slot grid (device plans
+    # store src flat — lane-padding economics, AggregationPlan.src_flat)
+    src = np.asarray(plan.src).reshape(
+        plan.num_tasks_padded, plan.block_size
+    )
     cnt = np.asarray(plan.count)
     dst = np.asarray(plan.dst)
     mask = np.arange(src.shape[1])[None, :] < cnt[:, None]
@@ -474,11 +477,14 @@ def main():
 
     if args.train:
         assert args.model == "gcn" and args.strategy == "hybrid"
-        # per-model plan defaults resolved below are needed here too
+        # per-model plan defaults resolved below are needed here too.
+        # tile-rows 256, NOT the forward-only 512 default: training holds
+        # BOTH the forward and transposed tile plans (A is 7.9 GB each at
+        # r512 -> "Used 19.80G of 15.75G hbm"; r256 is 5+5 GB and fits)
         if args.threshold is None:
             args.threshold = 24
         if args.tile_rows is None:
-            args.tile_rows = 512
+            args.tile_rows = 256
         if args.residual_block is None:
             args.residual_block = 4
         if args.pack is None:
@@ -580,6 +586,12 @@ def main():
             args.threshold = 384
         if args.tile_rows is None:
             args.tile_rows = 1024
+        if args.pack is None:
+            # products runs average ~13 tiles: pad_runs(16) DOUBLES the
+            # tile count (31.5k -> 63.5k = 8.3 GB A, measured OOM);
+            # pack 4 keeps pad ~10% and the per-step floor is irrelevant
+            # next to the residual wall
+            args.pack = 4
     if args.threshold is None:
         args.threshold = 24
     if args.tile_rows is None:

@@ -22,9 +22,9 @@ def edge_mlp(
     plan: AggregationPlan, h: jnp.ndarray, w: jnp.ndarray
 ) -> jnp.ndarray:
     """out[i] = sum over edges e=(j->i) of relu((h[i] + h[j]) @ W)."""
-    nt, b = plan.src.shape
+    nt, b = plan.num_tasks_padded, plan.block_size
     f = h.shape[-1]
-    src_rows = jnp.take(h, jnp.asarray(plan.src).reshape(-1), axis=0)
+    src_rows = jnp.take(h, plan.src_flat(), axis=0)
     dst_rows = jnp.take(h, jnp.asarray(plan.dst), axis=0)  # [nt, f]
     z = src_rows.reshape(nt, b, f) + dst_rows[:, None, :]
     # full f32 matmul: the single-pass bf16 default breaks the 1e-2

@@ -51,23 +51,24 @@ def _att_slots(
     aggr_gat.h:125,138).  gather_dtype='f16_split2' stores the src half
     as an exact two-chunk f16 table ([n, 2], 21 mantissa bits) that rides
     the fast 16-bit gather row path (PERF_NOTES.md)."""
+    nt, b = plan.num_tasks_padded, plan.block_size
     a_dst = jnp.take(att[:, 0], jnp.asarray(plan.dst))  # [nt]
-    src = jnp.asarray(plan.src)
+    src_flat = plan.src_flat()
     if gather_dtype == "f16_split2":
         asv = att[:, 1].astype(jnp.float32)
         hi = jax.lax.reduce_precision(asv, 5, 10).astype(jnp.float16)
         lo = (asv - hi.astype(jnp.float32)).astype(jnp.float16)
         tbl = jnp.stack([hi, lo], axis=1)  # [n, 2] f16
-        g = jnp.take(tbl, src.reshape(-1), axis=0)
+        g = jnp.take(tbl, src_flat, axis=0)
         a_src = (
             g[:, 0].astype(jnp.float32) + g[:, 1].astype(jnp.float32)
-        ).reshape(src.shape)
+        ).reshape(nt, b)
     elif gather_dtype is not None:
         a_src = jnp.take(
-            att[:, 1].astype(gather_dtype), src
-        ).astype(jnp.float32)
+            att[:, 1].astype(gather_dtype), src_flat
+        ).astype(jnp.float32).reshape(nt, b)
     else:
-        a_src = jnp.take(att[:, 1], src)  # [nt, B]
+        a_src = jnp.take(att[:, 1], src_flat).reshape(nt, b)
     return a_dst[:, None] + a_src
 
 
@@ -103,11 +104,11 @@ def gat_aggregate_parts(
     mask = plan.slot_mask()
     dst = jnp.asarray(plan.dst)
     f = h.shape[-1]
-    nt, b = plan.src.shape
+    nt, b = plan.num_tasks_padded, plan.block_size
     if packed is None:
         packed = False
     if packed and not stabilize:
-        src_flat = jnp.asarray(plan.src).reshape(-1)
+        src_flat = plan.src_flat()
         tbl = jnp.concatenate(
             [h, att[:, 1:2].astype(h.dtype)], axis=1
         )

@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gnn_computing_tpu.schedule.plan import AggregationPlan
 
@@ -76,15 +77,18 @@ def edge_values_from_slots(plan: AggregationPlan, slot_val: jnp.ndarray):
 
 
 def _resolve_val(plan: AggregationPlan, val) -> jnp.ndarray:
+    """Slot values as a FLAT [nt_p * B] vector (accepts [nt_p, B] too —
+    device plans store val flat, see AggregationPlan.src_flat)."""
     if val is None:
         assert plan.val is not None, "plan has no edge values"
-        return jnp.asarray(plan.val)
+        return jnp.asarray(plan.val).reshape(-1)
     val = jnp.asarray(val)
-    assert val.shape == (plan.num_tasks_padded, plan.block_size), (
-        f"val must be in slot layout {(plan.num_tasks_padded, plan.block_size)}"
-        f", got {val.shape}; use slots_from_edge_values for per-edge vals"
+    want = (plan.num_tasks_padded, plan.block_size)
+    assert val.shape in (want, (want[0] * want[1],)), (
+        f"val must be in slot layout {want} (or flat), got {val.shape}; "
+        f"use slots_from_edge_values for per-edge vals"
     )
-    return val
+    return val.reshape(-1)
 
 
 # ------------------------------------------------------------- XLA strategies
@@ -116,9 +120,10 @@ def weighted_task_sums(
                        relative — safe ONLY for non-cancelling sums, e.g.
                        nonnegative operands under nonnegative weights).
     """
-    nt, b = plan.src.shape
+    nt, b = plan.num_tasks_padded, plan.block_size
     f = h.shape[-1]
-    src_flat = jnp.asarray(plan.src).reshape(-1)
+    src_flat = plan.src_flat()
+    v = v.reshape(-1)  # accept [nt, B] or flat
     if gather_dtype in ("bf16_split2", "f16_split2"):
         if gather_dtype == "f16_split2":
             hf = h.astype(jnp.float32)
@@ -133,20 +138,98 @@ def weighted_task_sums(
         hh = jnp.concatenate([hi, lo], axis=1)  # [n, 2f] 16-bit
         g = jnp.take(hh, src_flat, axis=0)
         rec = g[:, :f].astype(jnp.float32) + g[:, f:].astype(jnp.float32)
-        msg = rec * v.reshape(-1).astype(jnp.float32)[:, None]
+        msg = rec * v.astype(jnp.float32)[:, None]
         return msg.reshape(nt, b, f).sum(axis=1, dtype=h.dtype)
     hh = h.astype(gather_dtype) if gather_dtype is not None else h
-    v_flat = v.reshape(-1).astype(hh.dtype)
-    msg = jnp.take(hh, src_flat, axis=0) * v_flat[:, None]
+    msg = jnp.take(hh, src_flat, axis=0) * v.astype(hh.dtype)[:, None]
     return msg.reshape(nt, b, f).sum(axis=1, dtype=h.dtype)
+
+
+# Above this many gathered ELEMENTS (slots x lane-padded f), XLA stops
+# fusing the flat gather->reduce and materializes the [slots, f]
+# intermediate in HBM (measured OOM at products scale: f32[62.5M, 128] =
+# 32 GB); chunk the task axis with the output as a scan carry instead.
+# f counts LANE-PADDED width: HBM arrays are (8,128)-tiled, so a
+# materialized [62.5M, 32] intermediate still allocates 128 lanes
+# (measured: "Allocation (size=32031539200)" for an 8 GB logical shape).
+_SPMM_FUSE_ELEMS = 1 << 30
+
+
+def _spmm_xla_chunked(
+    plan: AggregationPlan,
+    h: jnp.ndarray,
+    v: jnp.ndarray,
+    gather_dtype=None,
+    chunk_tasks: int = 1 << 20,
+) -> jnp.ndarray:
+    """spmm_xla over task chunks: carry = the [n, f] accumulator, each
+    chunk does the fused gather->reduce->segment_sum at bounded size.
+    Costs one carry read+write per chunk (~2.5 GB at products scale) on
+    top of the gather — acceptable where the unchunked form is a 32 GB
+    HBM intermediate.  Tasks are dst-sorted, so per-chunk segment_sums
+    just add disjoint-ish row ranges."""
+    import dataclasses
+
+    nt, bsz = plan.num_tasks_padded, plan.block_size
+    f = h.shape[-1]
+    n_chunks = -(-nt // chunk_tasks)
+    nt_pad = n_chunks * chunk_tasks
+    # ALL slot arrays handled flat: a [nt, B<128] 2-D form (even as a pad
+    # temp) is (8,128)-tiled and pays a 128/B lane-padding factor
+    src = plan.src_flat()
+    dst = jnp.asarray(plan.dst)
+    cnt = jnp.asarray(plan.count)
+    if nt_pad != nt:
+        src = jnp.pad(src, (0, (nt_pad - nt) * bsz))
+        dst = jnp.pad(dst, (0, nt_pad - nt))  # pad tasks hit row 0 with v=0
+        cnt = jnp.pad(cnt, (0, nt_pad - nt))
+        v = jnp.pad(v, (0, (nt_pad - nt) * bsz))
+
+    def body(out, c):
+        src_c, dst_c, cnt_c, v_c = c
+        sub = dataclasses.replace(
+            plan,
+            src=src_c,
+            dst=dst_c,
+            count=cnt_c,
+            val=None,
+            edge_perm=None,
+            num_tasks=chunk_tasks,
+            sorted_by_dst=True,
+        )
+        task = weighted_task_sums(sub, h, v_c, gather_dtype=gather_dtype)
+        out = out + jax.ops.segment_sum(
+            task, dst_c, num_segments=plan.num_nodes,
+            indices_are_sorted=plan.sorted_by_dst,
+        )
+        return out, None
+
+    out0 = jnp.zeros((plan.num_nodes, f), h.dtype)
+    out, _ = lax.scan(
+        body,
+        out0,
+        (
+            src.reshape(n_chunks, chunk_tasks * bsz),
+            dst.reshape(n_chunks, chunk_tasks),
+            cnt.reshape(n_chunks, chunk_tasks),
+            v.reshape(n_chunks, chunk_tasks * bsz),
+        ),
+    )
+    return out
 
 
 def spmm_xla(
     plan: AggregationPlan, h: jnp.ndarray, val=None, gather_dtype=None
 ) -> jnp.ndarray:
     """Fused gather -> per-task weighted reduce -> one task-level segment-sum
-    (the deterministic TPU replacement for atomicAdd, aggr_gcn.h:78-114)."""
+    (the deterministic TPU replacement for atomicAdd, aggr_gcn.h:78-114).
+    Plans whose gathered volume exceeds _SPMM_FUSE_ELEMS go through the
+    task-chunked scan form (see _spmm_xla_chunked)."""
     v = _resolve_val(plan, val)
+    nt, bsz = plan.num_tasks_padded, plan.block_size
+    f_pad = -(-max(h.shape[-1], 128) // 128) * 128
+    if nt * bsz * f_pad > _SPMM_FUSE_ELEMS:
+        return _spmm_xla_chunked(plan, h, v, gather_dtype=gather_dtype)
     task = weighted_task_sums(plan, h, v, gather_dtype=gather_dtype)
     return jax.ops.segment_sum(
         task,
@@ -162,12 +245,13 @@ def spmm_transpose_xla(
     """A^T @ g_out using the forward plan: scatter slot contributions to
     sources.  out[s] = sum_{(t,b): src=s} val[t,b] * g_out[dst[t]]."""
     v = _resolve_val(plan, val)
+    nt, b = plan.num_tasks_padded, plan.block_size
     dst_rows = jnp.take(g_out, jnp.asarray(plan.dst), axis=0)  # [nt, f]
-    contrib = dst_rows[:, None, :] * v[:, :, None].astype(g_out.dtype)
-    flat_src = jnp.asarray(plan.src).reshape(-1)
+    v2 = v.reshape(nt, b)
+    contrib = dst_rows[:, None, :] * v2[:, :, None].astype(g_out.dtype)
     return jax.ops.segment_sum(
         contrib.reshape(-1, g_out.shape[-1]),
-        flat_src,
+        plan.src_flat(),
         num_segments=plan.n_src,
     )
 
@@ -187,9 +271,9 @@ def sddmm_slots_xla(
     residue rounding: f16_split2 (21 mantissa bits) passes the 1e-2/1e-5
     gate; bf16_split2 (16 bits) does NOT reliably (measured 14/300k bad on
     TPU with N(0,1) inputs) — use f16_split2 for validated paths."""
-    nt, bsz = plan.src.shape
+    nt, bsz = plan.num_tasks_padded, plan.block_size
     f = a.shape[-1]
-    src_flat = jnp.asarray(plan.src).reshape(-1)
+    src_flat = plan.src_flat()
     if gather_dtype in ("bf16_split2", "f16_split2"):
         if gather_dtype == "f16_split2":
             af = a.astype(jnp.float32)
@@ -229,17 +313,17 @@ def sddmm_slots_chunked(
     at reddit scale (118M slots) is a 30 GB intermediate — OOM.  Chunking
     bounds the peak at [chunk_tasks*B, 2f] while keeping each chunk's
     gather fused; use for full-edge-set SDDMM on large graphs."""
-    nt, bsz = plan.src.shape
+    nt, bsz = plan.num_tasks_padded, plan.block_size
     f = a.shape[-1]
     if nt <= chunk_tasks:
         return sddmm_slots_xla(plan, a, b, gather_dtype=gather_dtype)
     n_chunks = -(-nt // chunk_tasks)
     nt_pad = n_chunks * chunk_tasks
-    src = jnp.asarray(plan.src)
+    src = plan.src_flat()
     dst = jnp.asarray(plan.dst)
     count = jnp.asarray(plan.count)
     if nt_pad != nt:
-        src = jnp.pad(src, ((0, nt_pad - nt), (0, 0)))
+        src = jnp.pad(src, (0, (nt_pad - nt) * bsz))
         dst = jnp.pad(dst, (0, nt_pad - nt))
         count = jnp.pad(count, (0, nt_pad - nt))
 
@@ -258,7 +342,7 @@ def sddmm_slots_chunked(
 
         def chunk(args):
             s, d, c = args
-            g = jnp.take(tbl, s.reshape(-1), axis=0)
+            g = jnp.take(tbl, s, axis=0)
             ga = g[:, :f].astype(jnp.float32) + g[:, f:].astype(
                 jnp.float32
             )
@@ -276,7 +360,7 @@ def sddmm_slots_chunked(
 
         def chunk(args):
             s, d, c = args
-            ga = jnp.take(aa, s.reshape(-1), axis=0)
+            ga = jnp.take(aa, s, axis=0)
             gbk = jnp.take(b, d, axis=0)
             o = (
                 ga.reshape(chunk_tasks, bsz, f).astype(b.dtype)
@@ -290,7 +374,7 @@ def sddmm_slots_chunked(
     out = jax.lax.map(
         chunk,
         (
-            src.reshape(n_chunks, chunk_tasks, bsz),
+            src.reshape(n_chunks, chunk_tasks * bsz),
             dst.reshape(n_chunks, chunk_tasks),
             count.reshape(n_chunks, chunk_tasks),
         ),

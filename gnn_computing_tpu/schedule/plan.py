@@ -66,7 +66,19 @@ class AggregationPlan:
 
     @property
     def num_tasks_padded(self) -> int:
+        if getattr(self.src, "ndim", 2) == 1:  # device-side flat storage
+            return self.src.shape[0] // self.block_size
         return self.src.shape[0]
+
+    def src_flat(self):
+        """Slot sources as a FLAT [nt_p * B] vector (the only form the
+        aggregation kernels touch).  Device plans store src/val flat:
+        2-D [nt, B] arrays are (8,128)-tiled in HBM, so B=4 slot grids
+        pad 32x — measured 7.46 GB for a 240 MB plan at products scale,
+        both at rest and in every pad/copy the compiler makes of them."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.src).reshape(-1)
 
     @property
     def num_partitions(self) -> int:
@@ -87,12 +99,21 @@ class AggregationPlan:
             if sharding is not None
             else jnp.asarray
         )
+        # src/val go to the device FLAT (see src_flat): narrow 2-D slot
+        # grids pay a 128/B lane-padding factor in HBM.  Sharded puts keep
+        # the host layout — the ring path shards the task axis and its
+        # per-shard sizes are small.
+        flat = (
+            (lambda x: put(x.reshape(-1)))
+            if sharding is None
+            else put
+        )
         return dataclasses.replace(
             self,
-            src=put(self.src),
+            src=flat(self.src),
             count=put(self.count),
             dst=put(self.dst),
-            val=None if self.val is None else put(self.val),
+            val=None if self.val is None else flat(self.val),
             edge_perm=None if self.edge_perm is None else put(self.edge_perm),
         )
 

@@ -67,8 +67,11 @@ def tune_gather(
 def tune_hybrid(
     g: CSRGraph,
     feature_len: int = 128,
-    thresholds: Sequence[int] = (24, 48, 96),
-    tile_rows: Sequence[int] = (256,),
+    # measured-best at reddit scale: t24/r512 for GCN and GAT (PERF_NOTES
+    # sessions 8-9); sparse graphs (products-like, mean degree <~100)
+    # need far higher thresholds — the sweep covers both regimes
+    thresholds: Sequence[int] = (16, 24, 48),
+    tile_rows: Sequence[int] = (256, 512),
     dtypes: Sequence[str] = ("int8", "bf16"),
     residual_block: int = 4,
     iters: int = 4,

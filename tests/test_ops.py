@@ -82,7 +82,11 @@ def test_spmm_val_override_grad(small_uniform):
     g = small_uniform
     plan = neighbor_grouping_plan(g, 8).device_put()
     h = jnp.asarray(normal_features(g.num_nodes, 4, seed=5))
-    v0 = jnp.asarray(plan.val)
+    # device plans store val FLAT (lane-padding economics, plan.src_flat);
+    # the public override layout is [nt, B]
+    v0 = jnp.asarray(plan.val).reshape(
+        plan.num_tasks_padded, plan.block_size
+    )
 
     def loss(v):
         return jnp.sum(spmm_xla(plan, h, val=v) ** 2)
@@ -161,6 +165,23 @@ def test_sddmm_chunked_matches_unchunked(small_rmat, gdt):
         sddmm_slots_chunked(plan, a, b, gather_dtype=gdt, chunk_tasks=37)
     )
     # fusion/association differs between the forms: tiny f32 noise only
+    np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("gdt", [None, "f16_split2"])
+def test_spmm_chunked_matches_unchunked(small_rmat, gdt):
+    # huge plans (products scale) route through the task-chunked scan —
+    # the unchunked gather materializes a 32 GB intermediate there
+    from gnn_computing_tpu.ops.spmm import _resolve_val, _spmm_xla_chunked
+
+    g = small_rmat
+    plan = neighbor_grouping_plan(g, 8).device_put()
+    h = jnp.asarray(normal_features(g.num_nodes, 8, seed=1))
+    whole = np.asarray(spmm_xla(plan, h, gather_dtype=gdt))
+    v = _resolve_val(plan, None)
+    chunked = np.asarray(
+        _spmm_xla_chunked(plan, h, v, gather_dtype=gdt, chunk_tasks=53)
+    )
     np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-6)
 
 
