@@ -443,6 +443,13 @@ def main():
         "exact = f32 residual + split3 tiles everywhere.",
     )
     ap.add_argument(
+        "--input-dtype", default=None, choices=["f32", "bf16"],
+        help="storage dtype of the INPUT feature matrix ([n, 512]).  "
+        "Compute stays f32 (the first transform upcasts, HIGHEST "
+        "precision).  products defaults to bf16: the f32 input alone is "
+        "5 GB of the 16 GB HBM; reddit defaults to f32.",
+    )
+    ap.add_argument(
         "--scale", default="reddit", choices=["reddit", "products"],
         help="graph scale: reddit (232,965 v / 114.6M e, the headline) or "
         "products (2,449,029 v / 123.7M e — the reference's largest graph, "
@@ -663,6 +670,12 @@ def main():
             s, p, hh, residual_gather_dtype=rdt, layer_opts=layer_opts
         )
     h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)
+    if args.input_dtype is None:
+        args.input_dtype = "bf16" if args.scale == "products" else "f32"
+    if args.input_dtype == "bf16":
+        h = h.astype(jnp.bfloat16)
+        fwd0 = forward
+        forward = lambda s, p, hh: fwd0(s, p, hh.astype(jnp.float32))
 
     # Loop-carried chained timing (utils.timing.benchmark_chained): the
     # naive fori with invariant args gets the ENTIRE forward hoisted out of

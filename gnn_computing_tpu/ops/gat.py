@@ -72,6 +72,32 @@ def _att_slots(
     return a_dst[:, None] + a_src
 
 
+def _att_slots_flat(
+    plan: AggregationPlan, att: jnp.ndarray, gather_dtype=None
+):
+    """_att_slots in FLAT [nt_p * B] form (no 2-D [nt, B] intermediates —
+    lane-padding economics, see AggregationPlan.src_flat)."""
+    nt, b = plan.num_tasks_padded, plan.block_size
+    a_dst = jnp.repeat(
+        jnp.take(att[:, 0], jnp.asarray(plan.dst)), b
+    )  # [nt*B]
+    src_flat = plan.src_flat()
+    if gather_dtype == "f16_split2":
+        asv = att[:, 1].astype(jnp.float32)
+        hi = jax.lax.reduce_precision(asv, 5, 10).astype(jnp.float16)
+        lo = (asv - hi.astype(jnp.float32)).astype(jnp.float16)
+        tbl = jnp.stack([hi, lo], axis=1)  # [n, 2] f16
+        g = jnp.take(tbl, src_flat, axis=0)
+        a_src = g[:, 0].astype(jnp.float32) + g[:, 1].astype(jnp.float32)
+    elif gather_dtype is not None:
+        a_src = jnp.take(
+            att[:, 1].astype(gather_dtype), src_flat
+        ).astype(jnp.float32)
+    else:
+        a_src = jnp.take(att[:, 1], src_flat)
+    return a_dst + a_src
+
+
 def gat_aggregate_parts(
     plan: AggregationPlan,
     h: jnp.ndarray,
@@ -130,18 +156,45 @@ def gat_aggregate_parts(
             indices_are_sorted=plan.sorted_by_dst,
         )
         return seg[:, :f].astype(h.dtype), seg[:, f], score
-    z = _att_slots(plan, att, gather_dtype=att_gather_dtype)
-    z = leaky_relu(z, relu_slope)
-    if stabilize:
-        task_max = jnp.max(jnp.where(mask, z, -jnp.inf), axis=1)
-        row_max = jax.ops.segment_max(
-            task_max,
-            dst,
-            num_segments=plan.num_nodes,
+    if not stabilize:
+        # FLAT score pipeline: every [nt*B] intermediate is 1-D, so a
+        # buffer the compiler chooses to materialize costs its logical
+        # size — a materialized 2-D [nt, B=4] temp is (8,128)-tiled and
+        # pays 32x lane padding (see AggregationPlan.src_flat)
+        zf = leaky_relu(
+            _att_slots_flat(plan, att, gather_dtype=att_gather_dtype),
+            relu_slope,
+        )
+        slot_iota = jnp.arange(nt * b, dtype=jnp.int32) % b
+        cnt_flat = jnp.repeat(jnp.asarray(plan.count), b)
+        score_flat = jnp.where(slot_iota < cnt_flat, jnp.exp(zf), 0.0)
+
+        from gnn_computing_tpu.ops.spmm import weighted_task_sums
+
+        num_task = weighted_task_sums(  # fused gather+reduce
+            plan, h, score_flat, gather_dtype=h_gather_dtype
+        )
+        denom_task = score_flat.reshape(nt, b).sum(axis=1)
+        num = jax.ops.segment_sum(
+            num_task, dst, num_segments=plan.num_nodes,
             indices_are_sorted=plan.sorted_by_dst,
         )
-        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-        z = z - row_max[dst][:, None]
+        denom = jax.ops.segment_sum(
+            denom_task, dst, num_segments=plan.num_nodes,
+            indices_are_sorted=plan.sorted_by_dst,
+        )
+        return num, denom, score_flat.reshape(nt, b)
+    z = _att_slots(plan, att, gather_dtype=att_gather_dtype)
+    z = leaky_relu(z, relu_slope)
+    task_max = jnp.max(jnp.where(mask, z, -jnp.inf), axis=1)
+    row_max = jax.ops.segment_max(
+        task_max,
+        dst,
+        num_segments=plan.num_nodes,
+        indices_are_sorted=plan.sorted_by_dst,
+    )
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    z = z - row_max[dst][:, None]
     score = jnp.where(mask, jnp.exp(z), 0.0)  # [nt, B]
     # (An optimization_barrier here — forcing the score to materialize
     # between the att gather and the h gather — was measured ~4-8% SLOWER:

@@ -160,7 +160,7 @@ def _spmm_xla_chunked(
     h: jnp.ndarray,
     v: jnp.ndarray,
     gather_dtype=None,
-    chunk_tasks: int = 1 << 20,
+    chunk_tasks: int = None,
 ) -> jnp.ndarray:
     """spmm_xla over task chunks: carry = the [n, f] accumulator, each
     chunk does the fused gather->reduce->segment_sum at bounded size.
@@ -172,6 +172,10 @@ def _spmm_xla_chunked(
 
     nt, bsz = plan.num_tasks_padded, plan.block_size
     f = h.shape[-1]
+    if chunk_tasks is None:
+        # size chunks by SLOTS (the gathered [slots, f] chunk buffer is
+        # what must fit): ~2M slots => ~1 GB f32 at f<=128
+        chunk_tasks = max(8, (1 << 21) // bsz)
     n_chunks = -(-nt // chunk_tasks)
     nt_pad = n_chunks * chunk_tasks
     # ALL slot arrays handled flat: a [nt, B<128] 2-D form (even as a pad
