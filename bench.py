@@ -27,6 +27,15 @@ over invariant args gets the whole forward hoisted out by XLA and reports
 one-forward/iters — this bench shipped that bug until 2026-08-16; numbers
 before the fix are ~iters-fold optimistic.  Plans are passed as jit
 ARGUMENTS (closing over them would bake GB-scale constants into the HLO).
+
+Harness discipline (PERF_NOTES session 7: an in-process plan build before
+timing contaminates the measurement ~1.8x via host memory churn — "always
+bench from a cached plan in a fresh process"): this script self-enforces it
+by running as TWO subprocesses.  Phase 1 (JAX_PLATFORMS=cpu, host only)
+builds every graph/plan cache and exits; phase 2 is a FRESH process that
+loads the caches and times on the TPU.  A second benefit: the build phase
+never opens the TPU client, so the single-client axon tunnel is free for
+the timed child.
 """
 
 import argparse
@@ -109,72 +118,158 @@ def build_graph(n, m, kind="rmat"):
     return g
 
 
-def build_gather(g, block_size):
+def build_gather(g, block_size, n=None, m=None, graph_kind="rmat"):
+    """NG gather plan, disk-cached (so the timed phase loads instead of
+    rebuilding — the host-contamination rule applies to every plan kind)."""
     from gnn_computing_tpu.schedule import neighbor_grouping_plan
+    from gnn_computing_tpu.schedule.plan import AggregationPlan
 
+    path = None
+    if n is not None:
+        path = os.path.join(
+            _cache_dir(), f"gather_{graph_kind}_n{n}_m{m}_b{block_size}.npz"
+        )
+    if path and os.path.exists(path):
+        log(f"loading cached gather plan {os.path.basename(path)}")
+        z = np.load(path)
+        return AggregationPlan(
+            src=z["src"],
+            count=z["count"],
+            dst=z["dst"],
+            val=z["val"] if "val" in z.files else None,
+            edge_perm=None,
+            num_nodes=int(z["num_nodes"]),
+            n_src=int(z["n_src"]),
+            block_size=block_size,
+            num_tasks=int(z["num_tasks"]),
+            num_edges=int(z["num_edges"]),
+            sorted_by_dst=True,
+            partition_starts=(0, int(z["num_tasks"])),
+        )
     t0 = time.time()
     plan = neighbor_grouping_plan(g, block_size)
     log(f"gather plan: {time.time() - t0:.1f}s  {plan.stats()}")
+    if path:
+        kw = {} if plan.val is None else {"val": plan.val}
+        np.savez(
+            path,
+            src=plan.src,
+            count=plan.count,
+            dst=plan.dst,
+            num_nodes=plan.num_nodes,
+            n_src=plan.n_src,
+            num_tasks=plan.num_tasks,
+            num_edges=plan.num_edges,
+            **kw,
+        )
     return plan
+
+
+def hybrid_tag(
+    n, m, threshold, tile_rows, residual_block, tile_dtype, graph_kind,
+    reorder, bit_tiles=False,
+):
+    tag = f"hybrid_n{n}_m{m}_t{threshold}_r{tile_rows}_b{residual_block}"
+    if tile_dtype != "bf16":
+        tag += f"_{tile_dtype}"
+    if bit_tiles:
+        tag += "_bt"
+    if graph_kind != "rmat":
+        tag = f"{graph_kind}_{tag}"
+    if reorder != "degree":
+        tag += f"_{reorder}"
+    return tag
+
+
+def _save_tile(tp, prefix):
+    """TilePlan -> npz field dict (bit-packed plans use uint8 'u8')."""
+    a_np = np.asarray(tp.a)
+    if tp.bits:
+        a_kw = {f"{prefix}a_u8": a_np}
+    elif a_np.dtype == np.int8:
+        a_kw = {f"{prefix}a_i8": a_np}
+    else:
+        a_kw = {f"{prefix}a_u16": a_np.view(np.uint16)}
+    return {
+        **a_kw,
+        f"{prefix}tile_col": tp.tile_col,
+        f"{prefix}tile_row": tp.tile_row,
+        f"{prefix}tile_rows": tp.tile_rows,
+        f"{prefix}tile_cols": tp.tile_cols,
+        f"{prefix}num_tiles": tp.num_tiles,
+        f"{prefix}num_dense_edges": tp.num_dense_edges,
+    }
+
+
+def _load_tile(z, prefix, num_nodes, n_src):
+    """Inverse of _save_tile; returns None when the part is absent."""
+    import ml_dtypes
+
+    from gnn_computing_tpu.schedule.tiles import TilePlan
+
+    bits = False
+    if f"{prefix}a_u8" in z.files:
+        a = z[f"{prefix}a_u8"]
+        bits = True
+    elif f"{prefix}a_i8" in z.files:
+        a = z[f"{prefix}a_i8"]
+    elif f"{prefix}a_u16" in z.files:
+        a = z[f"{prefix}a_u16"].view(ml_dtypes.bfloat16)
+    else:
+        return None
+    return TilePlan(
+        a=a,
+        tile_col=z[f"{prefix}tile_col"],
+        tile_row=z[f"{prefix}tile_row"],
+        scale_dst=None,
+        scale_src=None,
+        num_nodes=num_nodes,
+        n_src=n_src,
+        tile_rows=int(z[f"{prefix}tile_rows"]),
+        tile_cols=int(z[f"{prefix}tile_cols"]),
+        num_tiles=int(z[f"{prefix}num_tiles"]),
+        num_dense_edges=int(z[f"{prefix}num_dense_edges"]),
+        bits=bits,
+    )
 
 
 def build_hybrid(
     g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16",
-    pack=8, reorder="degree", graph_kind="rmat",
+    pack=8, reorder="degree", graph_kind="rmat", bit_tiles=False,
 ):
     """Reordered hybrid aggregator, disk-cached (the tile extraction
     is an O(m log m) host pass — the reference caches its preprocessing
     the same way, src/data.cu:50-93).  reorder: 'degree' (hub stripes,
     best on RMAT) or 'lpa' (community-contiguous label propagation,
-    best on community graphs — graph/reorder.py)."""
+    best on community graphs — graph/reorder.py).  bit_tiles: split
+    0/1-only tiles into 1-bit/cell storage (tiles.split_bit_tiles)."""
     from gnn_computing_tpu.aggregator import Aggregator
     from gnn_computing_tpu.graph.reorder import (
         degree_sort,
         label_propagation_reorder,
     )
     from gnn_computing_tpu.schedule.plan import AggregationPlan
-    from gnn_computing_tpu.schedule.tiles import TilePlan
 
-    tag = f"hybrid_n{n}_m{m}_t{threshold}_r{tile_rows}_b{residual_block}"
-    if tile_dtype != "bf16":
-        tag += f"_{tile_dtype}"
-    if graph_kind != "rmat":
-        tag = f"{graph_kind}_{tag}"
-    if reorder != "degree":
-        tag += f"_{reorder}"
+    tag = hybrid_tag(
+        n, m, threshold, tile_rows, residual_block, tile_dtype,
+        graph_kind, reorder, bit_tiles,
+    )
     path = os.path.join(_cache_dir(), tag + ".npz")
     if os.path.exists(path):
         log(f"loading cached hybrid plan {tag}")
-        import ml_dtypes
-
         z = np.load(path)
-        a = (
-            z["a_u16"].view(ml_dtypes.bfloat16)
-            if "a_u16" in z
-            else z["a_i8"]
-        )
+        nn, ns = int(z["num_nodes"]), int(z["n_src"])
         # cache stores the unpadded plan; pad runs for the pack-K kernel
-        tile = TilePlan(
-            a=a,
-            tile_col=z["tile_col"],
-            tile_row=z["tile_row"],
-            scale_dst=None,
-            scale_src=None,
-            num_nodes=int(z["num_nodes"]),
-            n_src=int(z["n_src"]),
-            tile_rows=int(z["tile_rows"]),
-            tile_cols=int(z["tile_cols"]),
-            num_tiles=int(z["num_tiles"]),
-            num_dense_edges=int(z["num_dense_edges"]),
-        )
+        tile = _load_tile(z, "", nn, ns)
+        tile_b = _load_tile(z, "b_", nn, ns)
         plan = AggregationPlan(
             src=z["p_src"],
             count=z["p_count"],
             dst=z["p_dst"],
             val=z["p_val"],
             edge_perm=None,
-            num_nodes=int(z["num_nodes"]),
-            n_src=int(z["n_src"]),
+            num_nodes=nn,
+            n_src=ns,
             block_size=residual_block,
             num_tasks=int(z["p_num_tasks"]),
             num_edges=int(z["p_num_edges"]),
@@ -185,11 +280,13 @@ def build_hybrid(
             plan=plan,
             plan_t=None,
             edge_map_t=None,
-            num_nodes=int(z["num_nodes"]),
-            n_src=int(z["n_src"]),
+            num_nodes=nn,
+            n_src=ns,
             num_edges=m,
-            tile=tile.pad_runs(pack),
+            tile=None if tile is None else tile.pad_runs(pack),
             tile_t=None,
+            tile_bits=None if tile_b is None else tile_b.pad_runs(pack),
+            tile_bits_t=None,
         )
 
     t0 = time.time()
@@ -224,31 +321,26 @@ def build_hybrid(
         threshold=threshold,
         residual_block=residual_block,
         tile_dtype=dt,  # exact: unweighted integer counts
+        bit_tiles=bit_tiles,
         with_transpose=False,
         device_put=False,
         pack=1,  # cache stores the unpadded plan; padded at load
     )
     log(
-        f"hybrid plan: {time.time() - t0:.1f}s  tiles={agg.tile.stats()} "
+        f"hybrid plan: {time.time() - t0:.1f}s  "
+        f"tiles={[t.stats() for t in agg.tile_parts()]} "
         f"residual={agg.plan.stats()}"
     )
-    a_np = np.asarray(agg.tile.a)
-    a_kw = (
-        {"a_i8": a_np}
-        if a_np.dtype == np.int8
-        else {"a_u16": a_np.view(np.uint16)}
-    )
+    tile_kw = {}
+    if agg.tile is not None:
+        tile_kw.update(_save_tile(agg.tile, ""))
+    if agg.tile_bits is not None:
+        tile_kw.update(_save_tile(agg.tile_bits, "b_"))
     np.savez(
         path,
-        **a_kw,
-        tile_col=agg.tile.tile_col,
-        tile_row=agg.tile.tile_row,
+        **tile_kw,
         num_nodes=agg.num_nodes,
         n_src=agg.n_src,
-        tile_rows=agg.tile.tile_rows,
-        tile_cols=agg.tile.tile_cols,
-        num_tiles=agg.tile.num_tiles,
-        num_dense_edges=agg.tile.num_dense_edges,
         p_src=agg.plan.src,
         p_count=agg.plan.count,
         p_dst=agg.plan.dst,
@@ -256,19 +348,65 @@ def build_hybrid(
         p_num_tasks=agg.plan.num_tasks,
         p_num_edges=agg.plan.num_edges,
     )
-    return agg
+    import dataclasses as _dc
+
+    return _dc.replace(
+        agg,
+        tile=None if agg.tile is None else agg.tile.pad_runs(pack),
+        tile_bits=(
+            None if agg.tile_bits is None else agg.tile_bits.pad_runs(pack)
+        ),
+    )
 
 
-def add_transpose(agg, pack):
+def add_transpose(agg, pack, cache_tag=None):
     """Attach transposed plans to a cached (forward-only) hybrid
     aggregator so the custom-VJP backward can run — the training-bench
-    path (the disk cache stores only the forward plan)."""
+    path (the disk cache stores only the forward plan).  With
+    ``cache_tag`` the transposed plans are disk-cached too: the transpose
+    build is an O(m) host pass and must not run in the timed process."""
     import dataclasses
 
     import numpy as np
 
     from gnn_computing_tpu.graph.csr import CSRGraph
     from gnn_computing_tpu.schedule import make_plan
+    from gnn_computing_tpu.schedule.plan import AggregationPlan
+    from gnn_computing_tpu.schedule.tiles import TilePlan
+
+    tpath = (
+        os.path.join(_cache_dir(), f"{cache_tag}.transpose.npz")
+        if cache_tag
+        else None
+    )
+    if tpath and os.path.exists(tpath):
+        log(f"loading cached transpose plans {os.path.basename(tpath)}")
+        z = np.load(tpath)
+        nn, ns = int(z["num_nodes"]), int(z["n_src"])
+        tile_t = _load_tile(z, "", nn, ns)
+        tile_b_t = _load_tile(z, "b_", nn, ns)
+        plan_t = AggregationPlan(
+            src=z["p_src"],
+            count=z["p_count"],
+            dst=z["p_dst"],
+            val=z["p_val"] if "p_val" in z.files else None,
+            edge_perm=None,
+            num_nodes=nn,
+            n_src=ns,
+            block_size=int(z["p_block_size"]),
+            num_tasks=int(z["p_num_tasks"]),
+            num_edges=int(z["p_num_edges"]),
+            sorted_by_dst=True,
+            partition_starts=(0, int(z["p_num_tasks"])),
+        )
+        return dataclasses.replace(
+            agg,
+            plan_t=plan_t,
+            tile_t=None if tile_t is None else tile_t.pad_runs(pack),
+            tile_bits_t=(
+                None if tile_b_t is None else tile_b_t.pad_runs(pack)
+            ),
+        )
 
     plan = agg.plan
     # reconstruct the residual edge list from the slot grid (device plans
@@ -294,8 +432,40 @@ def add_transpose(agg, pack):
     # rows appended by pad_runs use col 0 — transpose() re-sorts anyway,
     # and zero tiles contribute nothing, so transposing the padded plan
     # is correct, just slightly larger)
-    tile_t = agg.tile.transpose().pad_runs(pack)
-    return dataclasses.replace(agg, plan_t=plan_t, tile_t=tile_t)
+    tile_t = None if agg.tile is None else agg.tile.transpose()
+    tile_b_t = None if agg.tile_bits is None else agg.tile_bits.transpose()
+    if tile_b_t is not None and tile_b_t.tile_rows < 256:
+        # below the Pallas bit-kernel's minimum sublane tile — keep the
+        # backward on the int8 kernel (see ops.pallas_bcsr.supported)
+        tile_b_t = tile_b_t.unpack_bits()
+    if tpath:
+        a_kw = {}
+        if tile_t is not None:
+            a_kw.update(_save_tile(tile_t, ""))
+        if tile_b_t is not None:
+            a_kw.update(_save_tile(tile_b_t, "b_"))
+        if plan_t.val is not None:
+            a_kw["p_val"] = plan_t.val
+        np.savez(
+            tpath,
+            **a_kw,
+            num_nodes=plan_t.num_nodes,
+            n_src=plan_t.n_src,
+            p_src=plan_t.src,
+            p_count=plan_t.count,
+            p_dst=plan_t.dst,
+            p_block_size=plan_t.block_size,
+            p_num_tasks=plan_t.num_tasks,
+            p_num_edges=plan_t.num_edges,
+        )
+    return dataclasses.replace(
+        agg,
+        plan_t=plan_t,
+        tile_t=None if tile_t is None else tile_t.pad_runs(pack),
+        tile_bits_t=(
+            None if tile_b_t is None else tile_b_t.pad_runs(pack)
+        ),
+    )
 
 
 def run_train(args, g, n, m):
@@ -318,11 +488,20 @@ def run_train(args, g, n, m):
         g, n, m, args.threshold, args.tile_rows, args.residual_block,
         tile_dtype=args.tile_dtype, pack=args.pack,
         reorder=args.reorder, graph_kind=args.graph,
+        bit_tiles=args.bit_tiles,
     )
     log("building transposed plans for backward...")
     t0 = time.time()
-    sched = add_transpose(sched, args.pack).device_put()
+    tag = hybrid_tag(
+        n, m, args.threshold, args.tile_rows, args.residual_block,
+        args.tile_dtype, args.graph, args.reorder, args.bit_tiles,
+    )
+    sched = add_transpose(sched, args.pack, cache_tag=tag)
     log(f"transpose: {time.time() - t0:.1f}s")
+    if args.phase == "build":
+        log("[bench] build phase done (train plans cached)")
+        return
+    sched = sched.device_put()
 
     params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
     h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)
@@ -423,6 +602,13 @@ def main():
     # 123.7 ms GCN; R=1024/t32 ties at 125.3 — see PERF_NOTES session 8)
     ap.add_argument("--tile-rows", type=int, default=None)
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
+    ap.add_argument(
+        "--bit-tiles", default="auto", choices=["auto", "on", "off"],
+        help="split 0/1-only tiles into 1-bit/cell bitmask storage "
+        "(tiles.split_bit_tiles; multigraph hub tiles stay int8) — 8x "
+        "less A traffic on 73%% of tiles at reddit scale.  auto = on for "
+        "int8 tile dtype.",
+    )
     ap.add_argument("--pack", type=int, default=None)
     ap.add_argument(
         "--residual-dtype", default="f32",
@@ -456,7 +642,45 @@ def main():
         "util.py:33/:143); baselines switch to the matching V100 column",
     )
     ap.add_argument("--iters", type=int, default=8)
+    # internal two-phase harness (see module doc): None = orchestrate,
+    # 'build' = host-only cache building (run under JAX_PLATFORMS=cpu),
+    # 'timed' = fresh-process cached-plan timing on the TPU.
+    ap.add_argument("--phase", choices=["build", "timed"], default=None,
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
+    args.bit_tiles = (
+        args.tile_dtype == "int8"
+        if args.bit_tiles == "auto"
+        else args.bit_tiles == "on"
+    )
+
+    if args.phase == "build":
+        # the axon sitecustomize force-selects the TPU backend via
+        # jax.config, overriding the orchestrator's JAX_PLATFORMS=cpu env;
+        # pin the build phase back to CPU so it never opens the (single
+        # client) TPU tunnel and graph gen stays host-deterministic.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.phase is None:
+        import subprocess
+
+        script = os.path.abspath(__file__)
+        argv = sys.argv[1:]
+        env_build = dict(os.environ, JAX_PLATFORMS="cpu")
+        log("[bench] phase 1/2: building caches (CPU process)")
+        rc = subprocess.call(
+            [sys.executable, script, *argv, "--phase", "build"],
+            env=env_build,
+            stdout=sys.stderr,
+        )
+        if rc:
+            sys.exit(rc)
+        log("[bench] phase 2/2: timing from cached plans (fresh process)")
+        sys.exit(subprocess.call(
+            [sys.executable, script, *argv, "--phase", "timed"]
+        ))
 
     import jax
     import jax.numpy as jnp
@@ -516,6 +740,9 @@ def main():
         else:
             nbr = presample_fixed_neighbors(g, k=SAGE_K, seed=2)
             np.savez(spath, nbr=nbr)
+        if args.phase == "build":
+            log("[bench] build phase done (sample cached)")
+            return
         import jax
         import jax.numpy as jnp
 
@@ -554,7 +781,11 @@ def main():
         from gnn_computing_tpu.utils.timing import benchmark_chained
 
         f = 32
-        plan = build_gather(g, args.block_size).device_put()
+        plan = build_gather(g, args.block_size, n, m, args.graph)
+        if args.phase == "build":
+            log("[bench] build phase done (gather plan cached)")
+            return
+        plan = plan.device_put()
         a = jnp.asarray(normal_features(n, f, seed=3) * 0.1)
         b = jnp.asarray(normal_features(n, f, seed=4) * 0.1)
         gdt = "f16_split2" if args.layer_config == "fast" else None
@@ -613,9 +844,14 @@ def main():
             g, n, m, args.threshold, args.tile_rows, args.residual_block,
             tile_dtype=args.tile_dtype, pack=args.pack,
             reorder=args.reorder, graph_kind=args.graph,
-        ).device_put()
+            bit_tiles=args.bit_tiles,
+        )
     else:
-        sched = build_gather(g, args.block_size).device_put()
+        sched = build_gather(g, args.block_size, n, m, args.graph)
+    if args.phase == "build":
+        log("[bench] build phase done (plan cached)")
+        return
+    sched = sched.device_put()
 
     rdt = {
         "f32": None,

@@ -70,6 +70,26 @@ def main():
                 rec,
                 args,
             )
+        # measured per-phase decomposition of the production hybrid
+        # schedule (profiling.decompose — the reference's per-block-clock
+        # phase columns, Figure8/main.cu:81-201)
+        from gnn_computing_tpu.aggregator import Aggregator
+        from gnn_computing_tpu.utils.profiling import decompose
+
+        agg = Aggregator.schedule_hybrid(
+            g, with_transpose=False, residual_block=4,
+        )
+        phases = decompose(agg, h, iters=args.iters)
+        rec = dict(
+            dataset=name,
+            schedule="hybrid",
+            actual_s=(phases.get("total") or {}).get("ms", 0.0) / 1e3,
+        )
+        for k in ("dense", "residual", "residual_floor", "transform"):
+            if k in phases:
+                rec[f"{k}_ms"] = phases[k]["ms"]
+                rec[f"{k}_noise_floor"] = phases[k]["noise_floor"]
+        common.emit("fig8", rec, args)
 
 
 if __name__ == "__main__":

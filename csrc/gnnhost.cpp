@@ -16,6 +16,11 @@
 #include <cstdlib>
 #include <cstring>
 
+#include <algorithm>
+#include <queue>
+#include <unordered_set>
+#include <vector>
+
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <fcntl.h>
@@ -246,6 +251,111 @@ void gs_saturating_count_i8(int64_t m, const int64_t* flat, int64_t cap,
       spill[e] = 0;
     }
   }
+}
+
+// Exact-Jaccard agglomerative clustering with lazy root re-enqueue — the
+// reference's full merge algorithm (script/cluster2.py:108-153), which the
+// banding-only cluster_reorder approximates.  Candidate ``pairs`` (from LSH
+// banding, Python side) seed a max-heap ordered by EXACT Jaccard similarity
+// of the two vertices' neighbor sets.  Pop best pair: if both endpoints are
+// live cluster representatives, merge smaller into larger (representative =
+// larger side's root VERTEX, whose own adjacency list keeps representing
+// the cluster — reference semantics); clusters reaching ``cap`` retire.  If
+// an endpoint was already merged away, re-score its current root against
+// the other root and RE-ENQUEUE (the lazy transitive closure the one-shot
+// union-find merge lacks).  root[i] <- final representative per vertex.
+void gs_jaccard_cluster(int64_t n, const int64_t* indptr,
+                        const int32_t* indices, int64_t npairs,
+                        const int64_t* pairs, int64_t cap, int64_t* root) {
+  // sorted, deduplicated neighbor list per vertex (for 2-pointer Jaccard)
+  std::vector<int32_t> nbr(indptr[n]);
+  std::vector<int64_t> nptr(n + 1);
+  int64_t w = 0;
+  for (int64_t v = 0; v < n; v++) {
+    nptr[v] = w;
+    int64_t beg = indptr[v], end = indptr[v + 1];
+    int64_t start = w;
+    for (int64_t e = beg; e < end; e++) nbr[w++] = indices[e];
+    std::sort(nbr.begin() + start, nbr.begin() + w);
+    w = std::unique(nbr.begin() + start, nbr.begin() + w) -
+        nbr.begin();
+  }
+  nptr[n] = w;
+
+  auto jd = [&](int64_t u, int64_t v) -> double {
+    int64_t a = nptr[u], ae = nptr[u + 1];
+    int64_t b = nptr[v], be = nptr[v + 1];
+    if (a == ae || b == be) return 0.0;
+    int64_t inter = 0;
+    while (a < ae && b < be) {
+      int32_t x = nbr[a], y = nbr[b];
+      inter += (x == y);
+      a += (x <= y);
+      b += (y <= x);
+    }
+    int64_t uni = (ae - nptr[u]) + (be - nptr[v]) - inter;
+    return uni ? (double)inter / (double)uni : 0.0;
+  };
+
+  struct Pair {
+    double simi;
+    int64_t p1, p2;
+    bool operator<(const Pair& o) const { return simi < o.simi; }
+  };
+  std::priority_queue<Pair> que;
+  std::unordered_set<int64_t> sset;
+  sset.reserve((size_t)npairs * 2);
+  auto makenum = [n](int64_t a, int64_t b) {
+    if (a > b) std::swap(a, b);
+    return a * n + b;
+  };
+  for (int64_t k = 0; k < npairs; k++) {
+    int64_t p1 = pairs[2 * k], p2 = pairs[2 * k + 1];
+    if (p1 == p2) continue;
+    int64_t key = makenum(p1, p2);
+    if (!sset.insert(key).second) continue;
+    que.push({jd(p1, p2), p1, p2});
+  }
+
+  std::vector<int64_t> cluster_id(n);
+  std::vector<int64_t> cluster_sz(n, 1);
+  std::vector<uint8_t> deleted(n, 0);
+  for (int64_t i = 0; i < n; i++) cluster_id[i] = i;
+  auto find = [&](int64_t x) {
+    int64_t r = x;
+    while (cluster_id[r] != r) r = cluster_id[r];
+    while (cluster_id[x] != r) {
+      int64_t nx = cluster_id[x];
+      cluster_id[x] = r;
+      x = nx;
+    }
+    return r;
+  };
+
+  while (!que.empty()) {
+    Pair it = que.top();
+    que.pop();
+    int64_t p1 = it.p1, p2 = it.p2;
+    sset.erase(makenum(p1, p2));
+    if (cluster_id[p1] == p1 && cluster_id[p2] == p2) {
+      if (deleted[p1] || deleted[p2]) continue;
+      // merge smaller cluster into larger; representative keeps ITS OWN
+      // adjacency list (cluster2.py:126-143)
+      int64_t keep = (cluster_sz[p1] < cluster_sz[p2]) ? p2 : p1;
+      int64_t gone = (keep == p1) ? p2 : p1;
+      cluster_id[gone] = keep;
+      cluster_sz[keep] += cluster_sz[gone];
+      if (cluster_sz[keep] >= cap) deleted[keep] = 1;
+    } else {
+      // stale pair: rescore the CURRENT roots, lazily re-enqueue
+      p1 = find(p1);
+      p2 = find(p2);
+      if (deleted[p1] || deleted[p2] || p1 == p2) continue;
+      int64_t key = makenum(p1, p2);
+      if (sset.insert(key).second) que.push({jd(p1, p2), p1, p2});
+    }
+  }
+  for (int64_t i = 0; i < n; i++) root[i] = find(i);
 }
 
 // Stable counting sort by key (key[e] < nbins): writes the permutation

@@ -35,7 +35,10 @@ from gnn_computing_tpu.ops.sddmm import sddmm as sddmm_op
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["plan", "plan_t", "edge_map_t", "tile", "tile_t"],
+    data_fields=[
+        "plan", "plan_t", "edge_map_t", "tile", "tile_t",
+        "tile_bits", "tile_bits_t",
+    ],
     meta_fields=["num_nodes", "n_src", "num_edges"],
 )
 @dataclasses.dataclass
@@ -51,6 +54,23 @@ class Aggregator:
     # only the residual sparse edges and run() adds the dense-tile matmul
     tile: Optional["TilePlan"] = None
     tile_t: Optional["TilePlan"] = None
+    # bit-packed {0,1} tile part (tiles.split_bit_tiles): 1 bit/cell A
+    # storage for the non-multigraph tiles — 8x less dense-side HBM
+    # traffic; `tile` then holds only the multi-count (hub) tiles
+    tile_bits: Optional["TilePlan"] = None
+    tile_bits_t: Optional["TilePlan"] = None
+
+    def tile_parts(self):
+        return tuple(
+            p for p in (self.tile_bits, self.tile)
+            if p is not None and p.num_tiles
+        )
+
+    def tile_parts_t(self):
+        return tuple(
+            p for p in (self.tile_bits_t, self.tile_t)
+            if p is not None and p.num_tiles
+        )
 
     # ------------------------------------------------------------- building
     @classmethod
@@ -94,12 +114,17 @@ class Aggregator:
         with_transpose: bool = True,
         device_put: bool = True,
         pack: int = 8,
+        bit_tiles: bool = False,
         **densify_kw,
     ) -> "Aggregator":
         """Hybrid MXU-densified schedule: dense adjacency tiles on the
         systolic array + NG gather plan for the sparse residue
         (schedule/tiles.py; the TPU-native replacement for the reference's
-        locality schedule + reorder, SURVEY.md §7)."""
+        locality schedule + reorder, SURVEY.md §7).
+
+        bit_tiles: split integer-count tiles by content — 0/1-only tiles
+        store 1 bit/cell (8x less A traffic), multigraph tiles stay int8
+        (tiles.split_bit_tiles).  Requires an integer tile_dtype."""
         import numpy as _np
 
         if tile_dtype is not None:
@@ -115,14 +140,32 @@ class Aggregator:
             threshold=threshold,
             **densify_kw,
         )
+        tile_b = None
+        if bit_tiles:
+            from gnn_computing_tpu.schedule.tiles import split_bit_tiles
+
+            assert _np.issubdtype(tile.a.dtype, np.integer), (
+                "bit_tiles needs integer count tiles (tile_dtype=int8)"
+            )
+            tile_b, tile = split_bit_tiles(tile)
         plan = make_plan(
             res, Schedule.neighbor_grouping, block_size=residual_block
         )
         tile_t = None
+        tile_b_t = None
         plan_t = None
         edge_map = None
         if with_transpose:
-            tile_t = tile.transpose().pad_runs(pack)
+            if tile is not None:
+                tile_t = tile.transpose().pad_runs(pack)
+            if tile_b is not None:
+                tile_b_t = tile_b.transpose()
+                if tile_b_t.tile_rows < 256:
+                    # below the Pallas bit-kernel's minimum sublane tile
+                    # (ops.pallas_bcsr.supported): keep backward on the
+                    # fast int8 kernel instead of the XLA scan fallback
+                    tile_b_t = tile_b_t.unpack_bits()
+                tile_b_t = tile_b_t.pad_runs(pack)
             gt, edge_map = res.transpose_with_map()
             plan_t = make_plan(
                 gt, Schedule.neighbor_grouping, block_size=residual_block
@@ -130,7 +173,10 @@ class Aggregator:
             edge_map = edge_map.astype(_np.int32)
         # pad tile-row runs to multiples of `pack` so the Pallas kernel can
         # process K tiles per grid step (amortizing per-step fixed cost)
-        tile = tile.pad_runs(pack)
+        if tile is not None:
+            tile = tile.pad_runs(pack)
+        if tile_b is not None:
+            tile_b = tile_b.pad_runs(pack)
         agg = cls(
             plan=plan,
             plan_t=plan_t,
@@ -140,6 +186,8 @@ class Aggregator:
             num_edges=g.num_edges,
             tile=tile,
             tile_t=tile_t,
+            tile_bits=tile_b,
+            tile_bits_t=tile_b_t,
         )
         return agg.device_put() if device_put else agg
 
@@ -153,6 +201,14 @@ class Aggregator:
             ),
             tile=None if self.tile is None else self.tile.device_put(),
             tile_t=None if self.tile_t is None else self.tile_t.device_put(),
+            tile_bits=(
+                None if self.tile_bits is None else self.tile_bits.device_put()
+            ),
+            tile_bits_t=(
+                None
+                if self.tile_bits_t is None
+                else self.tile_bits_t.device_put()
+            ),
         )
 
     # ------------------------------------------------------------ edge vals
@@ -181,7 +237,8 @@ class Aggregator:
         aggr_gcn.h:411-460).  With a transposed plan available, backward
         uses fast transposed aggregation; ``val``/``val_t`` are slot-layout
         edge values (val_t required iff val given and transpose in use)."""
-        if self.tile is not None:
+        tps = self.tile_parts()
+        if tps:
             from gnn_computing_tpu.ops.bcsr import hybrid_spmm
 
             assert val is None, (
@@ -194,8 +251,8 @@ class Aggregator:
                 else None
             )
             return hybrid_spmm(
-                self.tile,
-                self.tile_t,
+                tps,
+                self.tile_parts_t() or None,
                 plan,
                 plan_t,
                 h,
@@ -228,7 +285,8 @@ class Aggregator:
     ) -> jnp.ndarray:
         """Fused GAT attention aggregation (Aggregator_GAT::run,
         aggr_gat.h:317-354)."""
-        if self.tile is not None:
+        tps = self.tile_parts()
+        if tps:
             from gnn_computing_tpu.ops.bcsr_gat import hybrid_gat
 
             assert not stabilize, (
@@ -236,7 +294,7 @@ class Aggregator:
                 "reference's un-stabilized form is supported"
             )
             return hybrid_gat(
-                self.tile, self.plan, h, att, relu_slope=relu_slope,
+                tps, self.plan, h, att, relu_slope=relu_slope,
                 att_gather_dtype=att_gather_dtype,
                 h_gather_dtype=h_gather_dtype,
             )

@@ -66,6 +66,85 @@ def _minhash_signatures(
     return sig
 
 
+def _banding_candidate_pairs(
+    sig: np.ndarray, bands: int
+) -> Optional[np.ndarray]:
+    """LSH banding over MinHash signatures -> unique candidate pairs
+    (the role of MinHashLSH.query in cluster2.py:86-95, vectorized).
+    Consecutive-in-bucket pairing is linear per bucket — enough to chain a
+    bucket into one cluster under transitive merging."""
+    num_perm = sig.shape[1]
+    rows_per_band = max(num_perm // bands, 1)
+    cands = []
+    for b in range(bands):
+        band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        if band.shape[1] == 0:
+            continue
+        # hash each band row to a bucket; vertices sharing a bucket pair up
+        key = np.ascontiguousarray(band).view(
+            [("", band.dtype)] * band.shape[1]
+        ).ravel()
+        order = np.argsort(key, kind="stable")
+        sorted_key = key[order]
+        same = sorted_key[1:] == sorted_key[:-1]
+        i = order[:-1][same]
+        j = order[1:][same]
+        if len(i):
+            cands.append(np.stack([i, j], axis=1))
+    if not cands:
+        return None
+    return np.unique(np.sort(np.concatenate(cands), axis=1), axis=0)
+
+
+def _emit_clusters_first_seen(root: np.ndarray) -> np.ndarray:
+    """Vertices ordered cluster-by-cluster, clusters ranked by first
+    appearance (cluster2.py:156-172)."""
+    n = len(root)
+    first = {}
+    rank = np.empty(n, dtype=np.int64)
+    next_rank = 0
+    for v in range(n):
+        r = root[v]
+        if r not in first:
+            first[r] = next_rank
+            next_rank += 1
+        rank[v] = first[r]
+    return np.lexsort((np.arange(n), rank)).astype(np.int64)
+
+
+def cluster_reorder_exact(
+    g: CSRGraph,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_cluster: int = 64,
+    seed: int = 123,
+) -> Optional[np.ndarray]:
+    """Reference-faithful clustering permutation: LSH banding candidates +
+    EXACT-Jaccard max-heap agglomeration with lazy root re-enqueue
+    (script/cluster2.py:108-153), run natively (csrc/gnnhost.cpp
+    gs_jaccard_cluster).  Differs from cluster_reorder in two ways the
+    reference algorithm has and the one-shot merge lacks: pairs are ranked by
+    exact (not estimated) Jaccard, and merges close transitively — when a
+    popped pair's endpoint was already absorbed, the CURRENT roots are
+    re-scored and re-enqueued.  Returns None when the native lib is
+    unavailable."""
+    from gnn_computing_tpu import native
+
+    n = g.num_nodes
+    if n == 0:
+        return np.zeros(0, np.int64)
+    sig = _minhash_signatures(g, num_perm, seed)
+    pairs = _banding_candidate_pairs(sig, bands)
+    if pairs is None:
+        return np.arange(n, dtype=np.int64)
+    root = native.jaccard_cluster(
+        g.indptr, g.indices, pairs, max_cluster
+    )
+    if root is None:
+        return None
+    return _emit_clusters_first_seen(root)
+
+
 def cluster_reorder(
     g: CSRGraph,
     num_perm: int = 64,
@@ -89,32 +168,9 @@ def cluster_reorder(
     if n == 0:
         return np.zeros(0, np.int64)
     sig = _minhash_signatures(g, num_perm, seed)
-    rows_per_band = max(num_perm // bands, 1)
-
-    # candidate pairs from banding
-    cands = []
-    for b in range(bands):
-        band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-        if band.shape[1] == 0:
-            continue
-        # hash each band row to a bucket; vertices sharing a bucket pair up
-        key = np.ascontiguousarray(band).view(
-            [("", band.dtype)] * band.shape[1]
-        ).ravel()
-        order = np.argsort(key, kind="stable")
-        sorted_key = key[order]
-        same = sorted_key[1:] == sorted_key[:-1]
-        # consecutive-in-bucket pairs (linear, not quadratic, per bucket —
-        # enough to chain a bucket into one cluster)
-        i = order[:-1][same]
-        j = order[1:][same]
-        if len(i):
-            cands.append(np.stack([i, j], axis=1))
-    if not cands:
+    pairs = _banding_candidate_pairs(sig, bands)
+    if pairs is None:
         return np.arange(n, dtype=np.int64)
-    pairs = np.unique(
-        np.sort(np.concatenate(cands), axis=1), axis=0
-    )
     # estimated Jaccard = fraction of agreeing signature slots
     est = (sig[pairs[:, 0]] == sig[pairs[:, 1]]).mean(axis=1)
     keep = est >= threshold
@@ -147,18 +203,8 @@ def cluster_reorder(
             size[ru] += size[rv]
 
         root = np.array([find(x) for x in range(n)], dtype=np.int64)
-    # emit clusters in order of first appearance (cluster2.py:156-172):
-    # stable sort vertices by (first occurrence of their root, vertex id)
-    first = {}
-    rank = np.empty(n, dtype=np.int64)
-    next_rank = 0
-    for v in range(n):
-        r = root[v]
-        if r not in first:
-            first[r] = next_rank
-            next_rank += 1
-        rank[v] = first[r]
-    return np.lexsort((np.arange(n), rank)).astype(np.int64)
+    # emit clusters in order of first appearance (cluster2.py:156-172)
+    return _emit_clusters_first_seen(root)
 
 
 # ------------------------------------------------- label-propagation (2D)

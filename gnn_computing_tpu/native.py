@@ -106,6 +106,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gs_saturating_count_i8.argtypes = [i64, P(i64), i64, P(i8), P(u8)]
         lib.gs_counting_sort.restype = None
         lib.gs_counting_sort.argtypes = [i64, P(i64), i64, P(i64), P(i64)]
+        lib.gs_jaccard_cluster.restype = None
+        lib.gs_jaccard_cluster.argtypes = [
+            i64, P(i64), P(i32), i64, P(i64), i64, P(i64)]
         _lib = lib
         return _lib
 
@@ -156,6 +159,39 @@ def ng_schedule(
         _ptr(dst, ctypes.c_int32),
     )
     return start, count, dst
+
+
+def jaccard_cluster(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    pairs: np.ndarray,
+    cap: int,
+) -> Optional[np.ndarray]:
+    """Exact-Jaccard priority-queue agglomeration with lazy root
+    re-enqueue — the reference's full clustering loop
+    (script/cluster2.py:108-153), native.  ``pairs``: int64[npairs, 2]
+    LSH candidates.  Returns root[n], or None without the native lib
+    (the algorithm is inherently sequential heap-pops — no vectorized
+    numpy rendition exists; callers fall back to cluster_reorder's
+    one-shot merge)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    pairs = np.ascontiguousarray(pairs, dtype=np.int64)
+    n = len(indptr) - 1
+    root = np.empty(n, dtype=np.int64)
+    lib.gs_jaccard_cluster(
+        n,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        len(pairs),
+        _ptr(pairs, ctypes.c_int64),
+        cap,
+        _ptr(root, ctypes.c_int64),
+    )
+    return root
 
 
 def union_find_merge(

@@ -88,12 +88,18 @@ def bcsr_spmm_xla(
         col = jnp.pad(col, (0, t_pad - t))
         row = jnp.pad(row, (0, t_pad - t))  # zero tiles -> no-op adds to row 0
 
-    a = a.reshape(t_pad // chunk, chunk, tr, tc)
+    a_rows = tr // 8 if tp.bits else tr
+    a = a.reshape(t_pad // chunk, chunk, a_rows, tc)
     col = col.reshape(t_pad // chunk, chunk)
     row = row.reshape(t_pad // chunk, chunk)
 
     def body(out_t, c):
         a_c, col_c, row_c = c
+        if tp.bits:  # plane-major bit unpack (see tiles.pack_bit_tiles)
+            w = a_c.astype(jnp.int32)
+            a_c = jnp.concatenate(
+                [(w >> b) & 1 for b in range(8)], axis=1
+            )
         g = jnp.take(h_t, col_c, axis=0)  # [chunk, C, f]
         p = jnp.einsum(
             "tij,tjf->tif",
@@ -111,12 +117,21 @@ def bcsr_spmm_xla(
 
 
 def bcsr_spmm(
-    tp: TilePlan,
+    tp,
     h: jnp.ndarray,
     strategy: str = "auto",
     precision=DEFAULT_PRECISION,
     h_mode: str = "auto",
 ) -> jnp.ndarray:
+    """``tp`` may be one TilePlan or a tuple of them (mixed bitmask/int8
+    plans from tiles.split_bit_tiles — each part covers every output row,
+    so the partial outputs just add)."""
+    if isinstance(tp, (tuple, list)):
+        parts = [p for p in tp if p is not None and p.num_tiles]
+        out = bcsr_spmm(parts[0], h, strategy, precision, h_mode)
+        for p in parts[1:]:
+            out = out + bcsr_spmm(p, h, strategy, precision, h_mode)
+        return out
     if strategy in ("auto", "pallas"):
         from gnn_computing_tpu.ops import pallas_bcsr
 

@@ -85,20 +85,28 @@ def gat_bcsr_xla(
     t = tp.a.shape[0]
     chunk = min(chunk, max(t, 1))
     t_pad = -(-t // chunk) * chunk
-    a = jnp.asarray(tp.a).astype(jnp.float32)
+    a = jnp.asarray(tp.a)
+    if not tp.bits:
+        a = a.astype(jnp.float32)
     col = jnp.asarray(tp.tile_col)
     row = jnp.asarray(tp.tile_row)
     if t_pad != t:
         a = jnp.pad(a, ((0, t_pad - t), (0, 0), (0, 0)))
         col = jnp.pad(col, (0, t_pad - t))
         row = jnp.pad(row, (0, t_pad - t))
-    a = a.reshape(t_pad // chunk, chunk, tr, tc)
+    a_rows = tr // 8 if tp.bits else tr
+    a = a.reshape(t_pad // chunk, chunk, a_rows, tc)
     col = col.reshape(t_pad // chunk, chunk)
     row = row.reshape(t_pad // chunk, chunk)
 
     def body(acc, c):
         out_t, den_t = acc
         a_c, col_c, row_c = c
+        if tp.bits:  # plane-major bit unpack (tiles.pack_bit_tiles)
+            w = a_c.astype(jnp.int32)
+            a_c = jnp.concatenate(
+                [(w >> b) & 1 for b in range(8)], axis=1
+            ).astype(jnp.float32)
         ad_c = jnp.take(ad, row_c, axis=0)  # [chunk, tr]
         as_c = jnp.take(asrc, col_c, axis=0)  # [chunk, tc]
         pos = (ad_c[:, :, None] + as_c[:, None, :]) > 0
@@ -133,12 +141,21 @@ def gat_bcsr_xla(
 
 
 def gat_bcsr(
-    tp: TilePlan,
+    tp,
     h: jnp.ndarray,
     att: jnp.ndarray,
     relu_slope: float = DEFAULT_SLOPE,
     strategy: str = "auto",
 ):
+    """``tp``: one TilePlan or a tuple (mixed bitmask/int8 parts); partial
+    (numerator, denominator) sums merge exactly."""
+    if isinstance(tp, (tuple, list)):
+        parts = [p for p in tp if p is not None and p.num_tiles]
+        num, den = gat_bcsr(parts[0], h, att, relu_slope, strategy)
+        for p in parts[1:]:
+            n2, d2 = gat_bcsr(p, h, att, relu_slope, strategy)
+            num, den = num + n2, den + d2
+        return num, den
     if strategy in ("auto", "pallas"):
         from gnn_computing_tpu.ops import pallas_bcsr
 
@@ -231,9 +248,10 @@ def hybrid_gat(
     (aggr_gat.h:167-213) so the partial softmax denominators merge exactly.
     Differentiable in (h, att): backward re-derives the VJP through the XLA
     formulation regardless of the forward strategy."""
-    assert tp.scale_dst is None and tp.scale_src is None, (
-        "hybrid GAT needs raw count tiles (no factored scales)"
-    )
+    for p in tp if isinstance(tp, (tuple, list)) else (tp,):
+        assert p.scale_dst is None and p.scale_src is None, (
+            "hybrid GAT needs raw count tiles (no factored scales)"
+        )
     return _hybrid_gat(
         tp, plan, h, att, relu_slope, strategy,
         att_gather_dtype, h_gather_dtype,

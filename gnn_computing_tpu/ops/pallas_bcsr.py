@@ -46,6 +46,17 @@ def bf16_residue_chunks(x: jnp.ndarray, n: int) -> list:
     return chunks
 
 
+def decode_bit_tile(blk: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """Plane-major bit-packed tile [R//8, C] uint8 -> [R, C] 0/1 in
+    ``out_dtype`` (schedule.tiles.pack_bit_tiles layout: bit b of
+    blk[i, c] is cell (b*(R//8) + i, c)).  8 constant shift+mask ops on
+    the compact array + ONE sublane concatenation — no lane relayout, so
+    the decode hides under the (A+H) DMA pipeline."""
+    w = blk.astype(jnp.int32)
+    planes = [((w >> b) & 1) for b in range(8)]
+    return jnp.concatenate(planes, axis=0).astype(out_dtype)
+
+
 def _tpu_available() -> bool:
     global _PALLAS_OK
     if _PALLAS_OK is None:
@@ -74,6 +85,13 @@ def supported(tp: TilePlan, h) -> bool:
         and tp.tile_cols % 128 == 0
         and h.shape[-1] >= 8
         and tp.a.shape[0] <= SMEM_TILE_LIMIT
+        # bit-packed A blocks are uint8 [R//8, C]; Mosaic's minimum int8
+        # tile is (32, 128) sublanes x lanes — blocks shorter than 32
+        # sublanes load GARBAGE silently (measured: transposed r128 bit
+        # plans returned ~5% wrong elements).  Keep bits plans on the
+        # Pallas path only when R//8 >= 32; shorter ones fall back to the
+        # XLA scan (or get unpacked to int8 by the schedule layer).
+        and (not tp.bits or tp.tile_rows >= 256)
     )
 
 
@@ -137,7 +155,7 @@ def bcsr_spmm_pallas(
         h_mode = (
             "split3"
             if h.dtype == jnp.float32
-            and a.dtype in (jnp.bfloat16, jnp.int8)
+            and (tp.bits or a.dtype in (jnp.bfloat16, jnp.int8))
             else "native"
         )
 
@@ -212,7 +230,9 @@ def bcsr_spmm_pallas(
         def one(k):
             a_blk = a_ref[k]
             h_blk = h_refs[k][...]
-            if a_blk.dtype != h_blk.dtype:  # int8 count tiles upcast free
+            if tp.bits:
+                a_blk = decode_bit_tile(a_blk, h_blk.dtype)
+            elif a_blk.dtype != h_blk.dtype:  # int8 count tiles upcast free
                 a_blk = a_blk.astype(h_blk.dtype)
             # Mosaic rejects non-DEFAULT precision on bf16 operands ("Bad
             # lhs type"); precision only applies to native-f32 dots.
@@ -243,11 +263,12 @@ def bcsr_spmm_pallas(
     def h_index(k):
         return lambda i, rc: (rc[K * i + k] % cmod, 0)
 
+    a_rows = tr // 8 if tp.bits else tr
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((K, tr, tc), lambda i, rc: (i, 0, 0))
+            pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
         ]
         + [pl.BlockSpec((tc, w), h_index(k)) for k in range(K)],
         out_specs=pl.BlockSpec(
@@ -372,7 +393,14 @@ def gat_bcsr_pallas(
         )
         return first, last
 
-    a_spec = pl.BlockSpec((K, tr, tc), lambda i, rc: (i, 0, 0))
+    a_rows = tr // 8 if tp.bits else tr
+    a_spec = pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
+
+    def cnt_of(a_ref, k):
+        if tp.bits:
+            return decode_bit_tile(a_ref[k], jnp.float32)
+        return a_ref[k].astype(jnp.float32)
+
     rowb = lambda i, rc: (rc[K * i] // cmod, 0)
     row_spec = pl.BlockSpec((tr, 1), rowb)
 
@@ -430,7 +458,7 @@ def gat_bcsr_pallas(
             # u1 then applies as a row post-scale on dot result + row-sum
             q = u12_ref[:, 1:2] / u1v
             for k in range(K):
-                cnt = a_ref[k].astype(jnp.float32)
+                cnt = cnt_of(a_ref, k)
                 a_s = cnt * jnp.maximum(
                     v12_refs[k][0, 0], q * v12_refs[k][0, 1]
                 )
@@ -500,7 +528,7 @@ def gat_bcsr_pallas(
             accn = accn_ref[...]
             accd = accd_ref[...]
             for k in range(K):
-                cnt = a_ref[k].astype(jnp.float32)
+                cnt = cnt_of(a_ref, k)
                 z = ad_ref[...] + as_refs[k][0]  # [tr,1]+[1,tc]
                 a_m = jnp.where(
                     z > 0.0, cnt, cnt * (q_ref[...] * r_refs[k][0])
@@ -565,7 +593,7 @@ def gat_bcsr_pallas(
         accn = accn_ref[...]
         accd = accd_ref[...]
         for k in range(K):
-            cnt = a_ref[k].astype(jnp.float32)
+            cnt = cnt_of(a_ref, k)
             z = ad_ref[...] + as_refs[k][0]
             pos = z > 0.0
             a1 = jnp.where(pos, cnt, 0.0)

@@ -9,8 +9,11 @@ the semantics of the reference's GCN aggregation kernels (aggr_gcn.h:5-114)
                  (tasks/row = ceil(deg/B)) replaces the reference's atomicAdd
                  (deterministically).  Always available, used as the reference
                  implementation for validation.
-  * ``pallas`` — hand-tiled Pallas kernel (ops/pallas_spmm.py), selected when
-                 beneficial.
+There is deliberately NO Pallas gather-path kernel: manual Mosaic per-row
+DMA gathers measured 11.5-30 ns/row vs XLA take's 10.7 on the same indices
+(PERF_NOTES.md session "overlap is dead") — XLA's gather already sits at the
+(8,128)-HBM-tile random-row limit, so the hand kernel only appears on the
+tile-densified path (ops/pallas_bcsr.py).
 
 Backward pass (jax.custom_vjp): dH = A^T @ dOut is the same SpMM with src/dst
 roles flipped (slot-scatter form), and dVal = SDDMM(h, dOut) — the operator
@@ -435,19 +438,13 @@ def spmm(
     """Aggregate neighbor features: out[n, f] = A_plan @ h.
 
     ``val``: optional [num_tasks_padded, B] slot-layout edge values overriding
-    the plan's (differentiable).  ``strategy``: 'auto' | 'xla' | 'pallas'.
+    the plan's (differentiable).  ``strategy``: 'auto' | 'xla' (both the
+    same path; a Pallas gather kernel was probed and rejected — XLA's
+    gather is already at the hardware random-row limit, see module doc).
 
     The XLA strategy is autodiff-native: its derived VJP is exactly
     (A^T-gather-scatter, slot-SDDMM) — the operator pair the reference
-    hand-writes for GAT backward (aggr_gat.h:222-294).  Pallas strategies
-    carry custom VJPs built from the same pair.
+    hand-writes for GAT backward (aggr_gat.h:222-294).
     """
-    if strategy in ("auto", "pallas"):
-        from gnn_computing_tpu.ops import pallas_spmm
-
-        use = (strategy == "pallas" and pallas_spmm.supported(plan, h)) or (
-            strategy == "auto" and pallas_spmm.preferred(plan, h)
-        )
-        if use:
-            return pallas_spmm.spmm_pallas(plan, h, val)
+    del strategy
     return spmm_xla(plan, h, val)

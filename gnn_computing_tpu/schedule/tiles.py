@@ -47,6 +47,7 @@ from gnn_computing_tpu.graph.csr import CSRGraph
         "num_tiles",
         "num_dense_edges",
         "pack",
+        "bits",
     ],
 )
 @dataclasses.dataclass
@@ -77,6 +78,12 @@ class TilePlan:
     num_dense_edges: int
     # run-length multiple guaranteed by pad_runs (K tiles per Pallas step)
     pack: int = 1
+    # bit-packed {0,1} tiles: ``a`` is uint8 [T, R//8, C], bit b of
+    # a[t, i, c] == cell (8*i + b, c).  8x less A traffic than int8 — the
+    # dominant dense-side HBM cost at reddit scale (PERF_NOTES) — decoded
+    # in-kernel by 8 constant shifts + a sublane interleave.  Only valid
+    # when every cell multiplicity is 0/1 (see split_bit_tiles).
+    bits: bool = False
 
     @property
     def num_row_tiles(self) -> int:
@@ -105,7 +112,17 @@ class TilePlan:
         )
 
     def astype(self, dtype) -> "TilePlan":
+        assert not self.bits, "bit-packed tiles have a fixed uint8 layout"
         return dataclasses.replace(self, a=self.a.astype(dtype))
+
+    def unpack_bits(self) -> "TilePlan":
+        """Bit-packed plan -> equivalent int8 dense-tile plan (host/XLA
+        fallback paths and tests; the Pallas kernels decode in-kernel)."""
+        if not self.bits:
+            return self
+        return dataclasses.replace(
+            self, a=unpack_bit_tiles(np.asarray(self.a)), bits=False
+        )
 
     def pad_runs(self, multiple: int) -> "TilePlan":
         """Pad every tile-row run with all-zero tiles so each run's length
@@ -152,22 +169,49 @@ class TilePlan:
         aggregation): swap row/col roles, transpose every tile, re-sort by
         new row.  Requires square tiles OR re-tiling; for rectangular tiles
         the transposed plan has shape [C x R] tiles, which the ops handle
-        symmetrically."""
+        symmetrically.
+
+        Destination-row coverage is RESTORED after the swap (zero filler
+        tiles for forward column-blocks that had no tile): the Pallas
+        kernel only initializes output blocks it visits, so an uncovered
+        transposed row-block would return uninitialized HBM garbage.
+        (Found as a ~4%-of-elements backward error at reddit scale —
+        forward plans always cover rows via densify ensure_row_coverage,
+        transposed ones only did when every forward column had a tile.)"""
+        if self.bits:
+            t = self.unpack_bits().transpose()
+            return dataclasses.replace(
+                t, a=pack_bit_tiles(t.a), bits=True
+            )
         order = np.argsort(self.tile_col, kind="stable")
         a = np.ascontiguousarray(
             np.asarray(self.a)[order].transpose(0, 2, 1)
         )
+        rows = np.asarray(self.tile_col)[order].astype(np.int32)
+        cols = np.asarray(self.tile_row)[order].astype(np.int32)
+        num_tiles = self.num_tiles
+        nrt_t = -(-self.n_src // self.tile_cols)
+        missing = np.setdiff1d(np.arange(nrt_t, dtype=np.int32), rows)
+        if len(missing):
+            a = np.concatenate(
+                [a, np.zeros((len(missing),) + a.shape[1:], a.dtype)]
+            )
+            rows = np.concatenate([rows, missing])
+            cols = np.concatenate([cols, np.zeros(len(missing), np.int32)])
+            order2 = np.argsort(rows, kind="stable")
+            a, rows, cols = a[order2], rows[order2], cols[order2]
+            num_tiles += len(missing)
         return TilePlan(
             a=a,
-            tile_col=np.asarray(self.tile_row)[order].astype(np.int32),
-            tile_row=np.asarray(self.tile_col)[order].astype(np.int32),
+            tile_col=cols,
+            tile_row=rows,
             scale_dst=self.scale_src,
             scale_src=self.scale_dst,
             num_nodes=self.n_src,
             n_src=self.num_nodes,
             tile_rows=self.tile_cols,
             tile_cols=self.tile_rows,
-            num_tiles=self.num_tiles,
+            num_tiles=num_tiles,
             num_dense_edges=self.num_dense_edges,
         )
 
@@ -182,9 +226,96 @@ class TilePlan:
                 self.num_dense_edges / self.num_tiles if self.num_tiles else 0.0
             ),
             "a_bytes": int(a.nbytes),
+            "bits": bool(self.bits),
             "factored": self.scale_dst is not None
             or self.scale_src is not None,
         }
+
+
+def pack_bit_tiles(a: np.ndarray) -> np.ndarray:
+    """[T, R, C] 0/1 tiles -> uint8 [T, R//8, C], PLANE-MAJOR along rows:
+    bit b of out[t, i, c] = a[t, b*(R//8) + i, c].  Plane-major packing
+    lets the kernel decode with 8 constant shift+mask ops and ONE sublane
+    concatenation (lane layouts untouched — the cheap direction on TPU);
+    a row-interleaved packing would need a stack+reshape relayout."""
+    a = np.asarray(a)
+    t, r, c = a.shape
+    assert r % 8 == 0
+    bits = (a != 0).astype(np.uint8).reshape(t, 8, r // 8, c)
+    shifts = (1 << np.arange(8, dtype=np.uint8))[None, :, None, None]
+    return (bits * shifts).sum(axis=1, dtype=np.uint8)
+
+
+def unpack_bit_tiles(packed: np.ndarray) -> np.ndarray:
+    """Inverse of pack_bit_tiles: uint8 [T, R//8, C] -> int8 [T, R, C]."""
+    packed = np.asarray(packed)
+    t, r8, c = packed.shape
+    planes = np.concatenate(
+        [(packed >> b) & 1 for b in range(8)], axis=1
+    )  # [T, 8*R//8, C], row = b*(R//8) + i
+    return planes.astype(np.int8)
+
+
+def split_bit_tiles(tp: TilePlan):
+    """Split an integer-count TilePlan into (bit_plan, int_plan) by tile
+    content: tiles whose every cell is 0/1 go bit-packed (8x less A
+    traffic), multigraph tiles (any cell multiplicity > 1 — the hub tiles
+    at reddit scale, ~26% of tiles but ~93% of dense edges) stay int8.
+    Either part may be None.  Both parts keep full destination-row
+    coverage (all-zero filler tiles) so each Pallas call initializes every
+    output block; the hybrid op adds the two partial outputs.
+
+    Must run BEFORE pad_runs (the split re-sorts by row and re-pads).
+    """
+    assert not tp.bits and tp.pack == 1, "split before pad_runs"
+    a = np.asarray(tp.a)
+    t = a.shape[0]
+    if t == 0:
+        return None, tp
+    multi = np.zeros(t, bool)
+    chunk = 4096
+    for i in range(0, t, chunk):
+        multi[i : i + chunk] = a[i : i + chunk].max(axis=(1, 2)) > 1
+    if not multi.any():
+        return dataclasses.replace(
+            tp, a=pack_bit_tiles(a), bits=True
+        ), None
+    if multi.all():
+        return None, tp
+
+    def part(sel, pack, count_edges):
+        aa = a[sel]
+        rows = np.asarray(tp.tile_row)[sel]
+        cols = np.asarray(tp.tile_col)[sel]
+        # restore full row coverage with zero tiles
+        nrt = -(-tp.num_nodes // tp.tile_rows)
+        missing = np.setdiff1d(np.arange(nrt, dtype=np.int32), rows)
+        if len(missing):
+            aa = np.concatenate(
+                [aa, np.zeros((len(missing),) + aa.shape[1:], aa.dtype)]
+            )
+            rows = np.concatenate([rows, missing])
+            cols = np.concatenate([cols, np.zeros(len(missing), np.int32)])
+        order = np.argsort(rows, kind="stable")
+        return dataclasses.replace(
+            tp,
+            a=pack_bit_tiles(aa[order]) if pack else aa[order],
+            tile_row=rows[order].astype(np.int32),
+            tile_col=cols[order].astype(np.int32),
+            num_tiles=len(rows),
+            num_dense_edges=int(count_edges),
+            bits=pack,
+        )
+
+    edges_multi = int(
+        sum(
+            a[i : i + chunk][multi[i : i + chunk]].sum(dtype=np.int64)
+            for i in range(0, t, chunk)
+        )
+    )
+    bit_plan = part(~multi, True, tp.num_dense_edges - edges_multi)
+    int_plan = part(multi, False, edges_multi)
+    return bit_plan, int_plan
 
 
 def densify(

@@ -192,16 +192,19 @@ def cmd_bench(args):
         if args.model == "gcn":
             from gnn_computing_tpu.ops.spmm import spmm
 
-            fn = lambda p, x: spmm(p, x)
-            inputs = (plan, h)
+            # feature array FIRST: benchmark_chained perturbs args[0] to
+            # keep the loop body live (a fori over invariant args gets the
+            # whole body hoisted by XLA and reports time/iters)
+            fn = lambda x, p: spmm(p, x)
+            inputs = (h, plan)
         else:
             from gnn_computing_tpu.ops.gat import gat_aggregate
 
             att = jnp.asarray(
                 normal_features(g.num_nodes, 2, seed=7) * 0.1
             )
-            fn = lambda p, x, a: gat_aggregate(p, x, a)
-            inputs = (plan, h, att)
+            fn = lambda x, p, a: gat_aggregate(p, x, a)
+            inputs = (h, plan, att)
     elif args.model == "sage_lstm":
         import jax.random as jrandom
 
@@ -215,27 +218,19 @@ def cmd_bench(args):
 
         nbr = jnp.asarray(presample_fixed_neighbors(g, k=args.k))
         params = init_lstm_params(jrandom.key(0), f, f)
-        fn = lambda p, x, nb: lstm_aggregate(p, x, nb, args.strategy)
-        inputs = (params, h, nbr)
+        fn = lambda x, p, nb: lstm_aggregate(p, x, nb, args.strategy)
+        inputs = (h, params, nbr)
     else:
         raise SystemExit(f"unknown model {args.model}")
 
-    iters = args.iters
+    # Loop-carried chained timing (slope fit over two chain lengths):
+    # cancels dispatch overhead AND defeats XLA's loop-invariant hoisting
+    # — the previous fori-over-invariant-args version here reported
+    # time/iters (the exact bug class documented in utils/timing.py).
+    from gnn_computing_tpu.utils.timing import benchmark_chained
 
-    @jax.jit
-    def chained(*a):
-        def body(i, acc):
-            out = fn(*a)
-            return acc + out.astype(jnp.float32).ravel()[0] * 1e-9
-
-        return lax.fori_loop(0, iters, body, 0.0)
-
-    float(chained(*inputs))  # compile + warmup (reference warmup discard)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(chained(*inputs))
-        best = min(best, (time.time() - t0) / iters)
+    r = benchmark_chained(fn, *inputs, iters=args.iters, reps=3)
+    best = r.min_s
     print(
         json.dumps(
             {

@@ -52,6 +52,127 @@ def plan_cost(
     }
 
 
+def decompose(
+    agg,
+    h,
+    model: str = "gcn",
+    att=None,
+    tile_h_mode: str = "auto",
+    residual_gather_dtype=None,
+    transform_out: Optional[int] = None,
+    iters: int = 8,
+    reps: int = 3,
+) -> dict:
+    """MEASURED per-phase on-chip decomposition of a hybrid aggregation
+    pass — the analog of the reference's per-block %globaltimer clocks and
+    balanced-time derivation (aggr_gcn.h:116-248, Figure8/main.cu:81-201),
+    productized from the ad-hoc probes that produced the PERF_NOTES
+    session-3 decompositions.
+
+    Each phase is timed with the hoist-proof chained harness
+    (utils.timing.benchmark_chained) on whatever device is default — the
+    real chip in production, CPU in tests.  Phases:
+
+      dense          — tile matmul pass (ops.bcsr.bcsr_spmm / GAT kernel)
+      residual       — full residual pipeline (gather + val + task-sum +
+                       segment-sum), ops.spmm.spmm_xla
+      residual_floor — pure fused gather+total-sum over the same slot
+                       indices: the hardware random-row bound.  The gap
+                       residual - residual_floor is formulation overhead.
+      transform      — [n, f] @ [f, f_out] dense GEMM at HIGHEST precision
+      total          — the full hybrid pass (phases overlap under XLA
+                       fusion, so total <= sum of parts is possible)
+
+    Returns {phase: {"ms": float, "noise_floor": bool}} plus "analytic"
+    with the plan/tile byte+flop models (fig8's balance columns).
+    """
+    import jax.numpy as jnp
+
+    from gnn_computing_tpu.utils.timing import benchmark_chained
+
+    h = jnp.asarray(h)
+    f = h.shape[-1]
+    out = {}
+
+    def measure(name, fn, *args):
+        r = benchmark_chained(fn, h, *args, iters=iters, reps=reps)
+        out[name] = {
+            "ms": r.min_s * 1e3,
+            "noise_floor": bool(r.noise_floor),
+        }
+
+    tps = agg.tile_parts()
+    if tps:
+        from gnn_computing_tpu.ops.bcsr import bcsr_spmm
+
+        if model == "gat":
+            from gnn_computing_tpu.ops.bcsr_gat import gat_bcsr
+
+            assert att is not None, "GAT decomposition needs att [n, 2]"
+            att = jnp.asarray(att)
+            measure(
+                "dense",
+                lambda hh, t, a: gat_bcsr(t, hh, a)[0],
+                tps,
+                att,
+            )
+        else:
+            measure(
+                "dense",
+                lambda hh, t: bcsr_spmm(t, hh, h_mode=tile_h_mode),
+                tps,
+            )
+    plan = agg.plan if agg.plan is not None and agg.plan.num_edges else None
+    if plan is not None:
+        from gnn_computing_tpu.ops.spmm import spmm_xla
+
+        dplan = plan.device_put() if not hasattr(plan.src, "devices") else plan
+        if model == "gat":
+            from gnn_computing_tpu.ops.gat import gat_aggregate_parts
+
+            measure(
+                "residual",
+                lambda hh, p, a: gat_aggregate_parts(p, hh, a)[0],
+                dplan,
+                att,
+            )
+        else:
+            measure(
+                "residual",
+                lambda hh, p: spmm_xla(
+                    p, hh, gather_dtype=residual_gather_dtype
+                ),
+                dplan,
+            )
+        src_flat = dplan.src_flat()
+        measure(
+            "residual_floor",
+            lambda hh, s: jnp.take(hh, s, axis=0).sum(axis=0),
+            src_flat,
+        )
+    if transform_out is None:
+        transform_out = f
+    import jax
+
+    w = jax.random.normal(
+        jax.random.key(0), (f, transform_out), h.dtype
+    ) * 0.1
+    import jax.lax as lax
+
+    measure(
+        "transform",
+        lambda hh, ww: jnp.dot(hh, ww, precision=lax.Precision.HIGHEST),
+        w,
+    )
+    if tps and model == "gcn":
+        measure("total", lambda hh, a: a.run(hh, tile_h_mode=tile_h_mode), agg)
+    out["analytic"] = {
+        "plan": plan_cost(plan, f) if plan is not None else None,
+        "tile": [tile_cost(t, f) for t in tps] or None,
+    }
+    return out
+
+
 def tile_cost(
     tp: TilePlan, feature_len: int, h_bytes_per_elem: int = 2
 ) -> dict:

@@ -20,12 +20,18 @@ class BenchResult:
     max_s: float
     iters: int
     compile_s: float
+    # True when benchmark_chained's slope fit went negative (loop body below
+    # the dispatch-jitter noise floor) and the result fell back to the
+    # overhead-INCLUSIVE bound total/(2*iters) — small-problem numbers with
+    # this flag set are upper bounds, not measurements.
+    noise_floor: bool = False
 
     def __repr__(self):
+        nf = ", NOISE-FLOOR BOUND" if self.noise_floor else ""
         return (
             f"BenchResult(mean={self.mean_s * 1e3:.3f}ms, "
             f"min={self.min_s * 1e3:.3f}ms, iters={self.iters}, "
-            f"compile={self.compile_s:.2f}s)"
+            f"compile={self.compile_s:.2f}s{nf})"
         )
 
 
@@ -113,7 +119,8 @@ def benchmark_chained(
         float(c2(*args))
         t2s.append(time.perf_counter() - t0)
     slope = (min(t2s) - min(t1s)) / iters
-    if slope <= 0:  # noise floor: fall back to the overhead-inclusive bound
+    noise_floor = slope <= 0
+    if noise_floor:  # noise floor: fall back to the overhead-inclusive bound
         slope = min(t2s) / (2 * iters)
     mean = max((sum(t2s) - sum(t1s)) / len(t1s) / iters, slope)
     return BenchResult(
@@ -122,4 +129,5 @@ def benchmark_chained(
         max_s=max(t2s) / (2 * iters),
         iters=iters * reps,
         compile_s=compile_s,
+        noise_floor=noise_floor,
     )
