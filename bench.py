@@ -469,18 +469,28 @@ def add_transpose(agg, pack, cache_tag=None):
 
 
 def run_train(args, g, n, m):
-    """GCN full-graph training step at reddit scale (north-star 'GCN
-    epoch time'): forward + backward (transposed-plan aggregation) +
-    adam update.  Metric: aggregation passes/s x m — the step runs 3
-    forward + 3 backward-dH passes; vs_baseline compares the per-pass
-    rate against the V100 FORWARD pass rate (the reference publishes no
-    training numbers — its released benchmarks are forward-only)."""
+    """GCN/GAT full-graph training step at reddit scale (north-star 'GCN
+    epoch time'): forward + backward + adam update.  Metric: aggregation
+    passes/s x m — the step runs 3 forward + 3 backward-dH passes;
+    vs_baseline compares the per-pass rate against the matching V100
+    FORWARD pass rate (the reference publishes no training numbers — its
+    released benchmarks are forward-only).
+
+    GCN backward aggregates the cotangent over pre-built transposed
+    plans (hybrid_spmm custom VJP); GAT backward re-derives the VJP
+    through the XLA tile formulation (bcsr_gat._hybrid_gat_bwd) — no
+    transposed plans needed."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from gnn_computing_tpu.graph.synthetic import normal_features
-    from gnn_computing_tpu.models import BENCH_DIMS, init_gcn_params
+    from gnn_computing_tpu.models import (
+        BENCH_DIMS,
+        init_gat_params,
+        init_gcn_params,
+    )
+    from gnn_computing_tpu.models.gat import gat_forward
     from gnn_computing_tpu.models.gcn import gcn_forward_bench
     from gnn_computing_tpu.utils.timing import benchmark_chained
 
@@ -490,20 +500,26 @@ def run_train(args, g, n, m):
         reorder=args.reorder, graph_kind=args.graph,
         bit_tiles=args.bit_tiles,
     )
-    log("building transposed plans for backward...")
-    t0 = time.time()
-    tag = hybrid_tag(
-        n, m, args.threshold, args.tile_rows, args.residual_block,
-        args.tile_dtype, args.graph, args.reorder, args.bit_tiles,
-    )
-    sched = add_transpose(sched, args.pack, cache_tag=tag)
-    log(f"transpose: {time.time() - t0:.1f}s")
+    if args.model == "gcn":
+        log("building transposed plans for backward...")
+        t0 = time.time()
+        tag = hybrid_tag(
+            n, m, args.threshold, args.tile_rows, args.residual_block,
+            args.tile_dtype, args.graph, args.reorder, args.bit_tiles,
+        )
+        sched = add_transpose(sched, args.pack, cache_tag=tag)
+        log(f"transpose: {time.time() - t0:.1f}s")
     if args.phase == "build":
         log("[bench] build phase done (train plans cached)")
         return
     sched = sched.device_put()
 
-    params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
+    if args.model == "gat":
+        params = init_gat_params(jax.random.key(0), BENCH_DIMS)
+        fwd = lambda s, pp, hh: gat_forward(s, pp, hh, fast=False)
+    else:
+        params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
+        fwd = gcn_forward_bench
     h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)
     ncls = BENCH_DIMS[-1]
     labels = jnp.asarray(
@@ -514,7 +530,7 @@ def run_train(args, g, n, m):
 
     def step(hh, s, p, o_state, yy):
         def loss_fn(pp):
-            logits = gcn_forward_bench(s, pp, hh)
+            logits = fwd(s, pp, hh)
             logp = jax.nn.log_softmax(logits)
             return -jnp.mean(
                 jnp.take_along_axis(logp, yy[:, None], axis=1)
@@ -539,13 +555,17 @@ def run_train(args, g, n, m):
     log(f"train step: {r.min_s * 1e3:.2f} ms")
     passes = 6  # 3 fwd + 3 bwd-dH aggregations
     rate = passes * m / r.min_s
+    base = SCALE_BASELINES[args.scale][args.model]
     print(
         json.dumps(
             {
-                "metric": "gcn3_train_step_agg_passes_edges_per_s_per_chip",
+                "metric": (
+                    f"{args.model}3_train_step_agg_passes_edges_per_s"
+                    "_per_chip"
+                ),
                 "value": rate,
                 "unit": "edges/s",
-                "vs_baseline": rate / BASELINE_EDGES_PER_S,
+                "vs_baseline": rate / base,
             }
         )
     )
@@ -597,6 +617,13 @@ def main():
     # tiles, threshold 24, residual block 4, pack 16 — PERF_NOTES.md
     # cost models; best for both GCN and GAT at reddit scale).
     ap.add_argument("--threshold", type=int, default=None)
+    ap.add_argument(
+        "--threshold2", type=int, default=None,
+        help="denser tile threshold for the f<=64 layers (GCN hybrid "
+        "only): builds a second plan used by layers 2-3 — their tile "
+        "cost halves with width while residual slot cost does not, so "
+        "the crossover sits at fewer edges/tile",
+    )
     # R=512 tall tiles: same ~24-edge threshold over 4x tile area raises
     # coverage 97.5 -> 98.8%, halving the residual wall (measured 148.2 ->
     # 123.7 ms GCN; R=1024/t32 ties at 125.3 — see PERF_NOTES session 8)
@@ -605,9 +632,12 @@ def main():
     ap.add_argument(
         "--bit-tiles", default="auto", choices=["auto", "on", "off"],
         help="split 0/1-only tiles into 1-bit/cell bitmask storage "
-        "(tiles.split_bit_tiles; multigraph hub tiles stay int8) — 8x "
-        "less A traffic on 73%% of tiles at reddit scale.  auto = on for "
-        "int8 tile dtype.",
+        "(tiles.split_bit_tiles; multigraph hub tiles stay int8).  A "
+        "MEMORY lever, not a time lever: measured per-tile times are "
+        "unchanged (the in-kernel decode eats exactly the A-DMA saving, "
+        "PERF_NOTES round-2), but plan HBM drops 7.9 -> 2.8 GB at reddit "
+        "r512.  auto = on where footprint binds (products scale), off "
+        "for the reddit forward benches.",
     )
     ap.add_argument("--pack", type=int, default=None)
     ap.add_argument(
@@ -649,7 +679,7 @@ def main():
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
     args.bit_tiles = (
-        args.tile_dtype == "int8"
+        (args.tile_dtype == "int8" and args.scale == "products")
         if args.bit_tiles == "auto"
         else args.bit_tiles == "on"
     )
@@ -707,15 +737,17 @@ def main():
     g = build_graph(n, m, kind=args.graph)
 
     if args.train:
-        assert args.model == "gcn" and args.strategy == "hybrid"
+        assert args.model in ("gcn", "gat") and args.strategy == "hybrid"
         # per-model plan defaults resolved below are needed here too.
-        # tile-rows 256, NOT the forward-only 512 default: training holds
-        # BOTH the forward and transposed tile plans (A is 7.9 GB each at
-        # r512 -> "Used 19.80G of 15.75G hbm"; r256 is 5+5 GB and fits)
+        # tile-rows 256, NOT the forward-only 512 default: GCN training
+        # holds BOTH the forward and transposed tile plans (A is 7.9 GB
+        # each at r512 -> "Used 19.80G of 15.75G hbm"; r256 is 5+5 GB and
+        # fits).  GAT backward re-derives the VJP (no transposed tiles),
+        # so it keeps the forward-best r512.
         if args.threshold is None:
             args.threshold = 24
         if args.tile_rows is None:
-            args.tile_rows = 256
+            args.tile_rows = 256 if args.model == "gcn" else 512
         if args.residual_block is None:
             args.residual_block = 4
         if args.pack is None:
@@ -848,10 +880,28 @@ def main():
         )
     else:
         sched = build_gather(g, args.block_size, n, m, args.graph)
+    sched2 = None
+    if (
+        args.strategy == "hybrid"
+        and args.model == "gcn"
+        and args.threshold2 is not None
+        and args.threshold2 != args.threshold
+    ):
+        # denser second plan for the narrow (f<=64) layers: tile cost
+        # scales with aggregation width while residual slot cost does
+        # not, so their tile/residual crossover sits at fewer edges/tile
+        sched2 = build_hybrid(
+            g, n, m, args.threshold2, args.tile_rows, args.residual_block,
+            tile_dtype=args.tile_dtype, pack=args.pack,
+            reorder=args.reorder, graph_kind=args.graph,
+            bit_tiles=args.bit_tiles,
+        )
     if args.phase == "build":
         log("[bench] build phase done (plan cached)")
         return
     sched = sched.device_put()
+    if sched2 is not None:
+        sched2 = sched2.device_put()
 
     rdt = {
         "f32": None,
@@ -920,11 +970,12 @@ def main():
     # each step and fits the slope of (2*iters) vs (iters) chains.
     from gnn_computing_tpu.utils.timing import benchmark_chained
 
+    sched_arg = sched if sched2 is None else (sched, sched2, sched2)
     log("compiling + warmup...")
     r = benchmark_chained(
         lambda hh, s, p: forward(s, p, hh),
         h,
-        sched,
+        sched_arg,
         params,
         iters=args.iters,
         reps=3,

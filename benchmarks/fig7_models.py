@@ -32,8 +32,87 @@ from gnn_computing_tpu.schedule import neighbor_grouping_plan
 from gnn_computing_tpu.utils.timing import benchmark_chained
 
 
+def reddit_entries(args):
+    """Reddit-scale fig7 rows from bench.py's CACHED plans (fresh-process
+    discipline applies: run this alone, after `python bench.py --phase
+    build` has populated data/bench_cache).  Makes fig7.jsonl comparable
+    to BASELINE.md's V100 table at the anchor scale."""
+    import numpy as np
+
+    import bench as B
+
+    n, m = B.REDDIT_N, B.REDDIT_M
+    g = B.build_graph(n, m, kind="rmat")
+    plan = B.build_hybrid(
+        g, n, m, 24, 512, 4, tile_dtype="int8", pack=16,
+        reorder="degree", graph_kind="rmat",
+    ).device_put()
+    h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)
+    gcn_params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
+    opts = fast_layer_opts(BENCH_DIMS)
+    r = benchmark_chained(
+        lambda hh, p, w: gcn_forward_bench(p, w, hh, layer_opts=opts),
+        h, plan, gcn_params, iters=8,
+    )
+    common.emit(
+        "fig7",
+        dict(dataset="reddit_scale_rmat", model="GCN", seconds=r.min_s,
+             edges_per_s=3 * m / r.min_s,
+             v100_ours_seconds=0.058089),
+        args,
+    )
+    gat_params = init_gat_params(jax.random.key(1), BENCH_DIMS)
+    r = benchmark_chained(
+        lambda hh, p, w: gat_forward(p, w, hh, fast=True),
+        h, plan, gat_params, iters=8,
+    )
+    common.emit(
+        "fig7",
+        dict(dataset="reddit_scale_rmat", model="GAT", seconds=r.min_s,
+             edges_per_s=3 * m / r.min_s,
+             v100_ours_seconds=0.055538),
+        args,
+    )
+    del plan, h
+    nbr_path = os.path.join(
+        "data", "bench_cache", f"sample16_rmat_n{n}_m{m}.npz"
+    )
+    import numpy as _np
+
+    if os.path.exists(nbr_path):
+        nbr = jnp.asarray(_np.load(nbr_path)["nbr"])
+    else:
+        nbr = jnp.asarray(presample_fixed_neighbors(g, k=16, seed=2))
+    x = jnp.asarray(normal_features(n, BENCH_FEATURE_LEN, seed=3) * 0.1)
+    lstm = init_lstm_params(
+        jax.random.key(2), BENCH_FEATURE_LEN, BENCH_FEATURE_LEN
+    )
+    r = benchmark_chained(
+        lambda xx, p, nb: lstm_aggregate(
+            p, xx, nb, "redundancy_bypass", gate_gather_dtype=jnp.float16
+        ),
+        x, lstm, nbr, iters=8,
+    )
+    common.emit(
+        "fig7",
+        dict(dataset="reddit_scale_rmat", model="SAGE-LSTM",
+             seconds=r.min_s, edges_per_s=n * 16 / r.min_s,
+             v100_ours_seconds=0.014204),
+        args,
+    )
+
+
 def main():
-    args = common.parser(__doc__).parse_args()
+    ap = common.parser(__doc__)
+    ap.add_argument(
+        "--reddit", action="store_true",
+        help="emit reddit-scale rows from bench.py's cached plans instead "
+        "of the synthetic sweep (run alone in a fresh process)",
+    )
+    args = ap.parse_args()
+    if args.reddit:
+        reddit_entries(args)
+        return
     for name, g in common.datasets(args):
         # the framework's best schedule: reorder (hub+LPA for community
         # graphs, degree sort for rmat) + MXU densification + gather

@@ -16,7 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax.numpy as jnp
 
 from benchmarks import common
-from gnn_computing_tpu.graph.reorder import cluster_reorder, degree_sort
+from gnn_computing_tpu.graph.reorder import (
+    cluster_reorder,
+    cluster_reorder_exact,
+    degree_sort,
+    label_propagation_reorder,
+)
 from gnn_computing_tpu.graph.synthetic import normal_features
 from gnn_computing_tpu.ops.bcsr import hybrid_spmm
 from gnn_computing_tpu.ops.spmm import spmm_xla
@@ -33,10 +38,17 @@ def main():
         reorders = {
             "none": None,
             "degree": degree_sort(g),
+            "lpa": label_propagation_reorder(g),
             "cluster": cluster_reorder(
                 g, num_perm=32, bands=8, threshold=0.2
             ),
+            # reference-faithful exact-Jaccard PQ agglomeration with lazy
+            # root re-enqueue (cluster2.py:108-153; native gs_jaccard_cluster)
+            "cluster_exact": cluster_reorder_exact(
+                g, num_perm=32, bands=8
+            ),
         }
+        reorders = {k: v for k, v in reorders.items() if v is not None or k == "none"}
         for rname, perm in reorders.items():
             g2 = g if perm is None else g.reorder(perm)
             h = jnp.asarray(

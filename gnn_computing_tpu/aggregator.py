@@ -289,14 +289,11 @@ class Aggregator:
         if tps:
             from gnn_computing_tpu.ops.bcsr_gat import hybrid_gat
 
-            assert not stabilize, (
-                "hybrid GAT merges partial denominators — only the "
-                "reference's un-stabilized form is supported"
-            )
             return hybrid_gat(
                 tps, self.plan, h, att, relu_slope=relu_slope,
                 att_gather_dtype=att_gather_dtype,
                 h_gather_dtype=h_gather_dtype,
+                stabilize=stabilize,
             )
         return gat_mod.gat_aggregate(
             self.plan, h, att, relu_slope=relu_slope, stabilize=stabilize

@@ -90,8 +90,9 @@ def gcn_layer(
     hybrid MXU-densified kind, aggregator.schedule_hybrid)."""
     if opts is None:
         opts = LayerOpts(residual_gather_dtype=residual_gather_dtype)
-    is_hybrid = (
-        hasattr(plan, "run") and getattr(plan, "tile", None) is not None
+    is_hybrid = hasattr(plan, "run") and (
+        getattr(plan, "tile", None) is not None
+        or getattr(plan, "tile_bits", None) is not None
     )
 
     def aggregate(x):
@@ -161,10 +162,20 @@ def gcn_forward_bench(
     layer_opts: Optional[Sequence[LayerOpts]] = None,
 ) -> jnp.ndarray:
     """Exact reference benchmark semantics: ReLU after every layer
-    (our.py:252-255 applies gcn_layer_ours, which ends in relu, 3x)."""
+    (our.py:252-255 applies gcn_layer_ours, which ends in relu, 3x).
+
+    ``plan`` may be a sequence of per-layer plans/aggregators: the tile
+    crossover threshold scales with the layer's aggregation width (a
+    tile's H read costs ~f bytes while a residual slot's gather cost is
+    width-independent), so narrow layers profit from DENSER plans."""
+    plans = (
+        list(plan)
+        if isinstance(plan, (list, tuple))
+        else [plan] * len(params)
+    )
     for i, w in enumerate(params):
         h = gcn_layer(
-            plan, h, w, activation=jax.nn.relu, strategy=strategy,
+            plans[i], h, w, activation=jax.nn.relu, strategy=strategy,
             residual_gather_dtype=residual_gather_dtype,
             opts=None if layer_opts is None else layer_opts[i],
         )

@@ -41,7 +41,7 @@ from jax import lax
 
 from gnn_computing_tpu.schedule.plan import AggregationPlan
 from gnn_computing_tpu.schedule.tiles import TilePlan
-from gnn_computing_tpu.ops.spmm import spmm_xla
+from gnn_computing_tpu.ops.spmm import match_varying, spmm_xla
 
 DEFAULT_PRECISION = lax.Precision.HIGHEST
 
@@ -110,7 +110,7 @@ def bcsr_spmm_xla(
         )
         return out_t.at[row_c].add(p.astype(out_t.dtype)), None
 
-    out_t = jnp.zeros((nrt, tr, f), h.dtype)
+    out_t = match_varying(jnp.zeros((nrt, tr, f), h.dtype), h)
     out_t, _ = lax.scan(body, out_t, (a, col, row))
     out = out_t.reshape(nrt * tr, f)[: tp.num_nodes]
     return _post_scale(tp, out)
@@ -153,6 +153,53 @@ def bcsr_spmm(
             h.dtype
         )
     return bcsr_spmm_xla(tp, h, precision=precision)
+
+
+def bcsr_rowmax(tp: TilePlan, col_vals: jnp.ndarray, chunk: int = 256):
+    """Per-destination-row max of ``col_vals[src]`` over the plan's dense
+    edges: out[i] = max over tile cells (i, j) with count > 0 of
+    col_vals[j]; -inf where the tiles give row i no edge.  Feeds the GAT
+    softmax stabilizer (max of att_src per destination) — an XLA scan,
+    not a Pallas kernel: the stabilized path is an opt-in numeric-safety
+    mode, not the bench default."""
+    tr, tc = tp.tile_rows, tp.tile_cols
+    nct, nrt = tp.num_col_tiles, tp.num_row_tiles
+    v = _pad_rows(
+        col_vals.astype(jnp.float32)[:, None], nct * tc
+    ).reshape(nct, 1, tc)
+
+    t = tp.a.shape[0]
+    chunk = min(chunk, max(t, 1))
+    t_pad = -(-t // chunk) * chunk
+    a = jnp.asarray(tp.a)
+    col = jnp.asarray(tp.tile_col)
+    row = jnp.asarray(tp.tile_row)
+    if t_pad != t:
+        a = jnp.pad(a, ((0, t_pad - t), (0, 0), (0, 0)))
+        col = jnp.pad(col, (0, t_pad - t))
+        row = jnp.pad(row, (0, t_pad - t))
+    a_rows = tr // 8 if tp.bits else tr
+    a = a.reshape(t_pad // chunk, chunk, a_rows, tc)
+    col = col.reshape(t_pad // chunk, chunk)
+    row = row.reshape(t_pad // chunk, chunk)
+
+    def body(out_t, c):
+        a_c, col_c, row_c = c
+        if tp.bits:
+            w = a_c.astype(jnp.int32)
+            a_c = jnp.concatenate(
+                [(w >> b) & 1 for b in range(8)], axis=1
+            )
+        vc = jnp.take(v, col_c, axis=0)  # [chunk, 1, tc]
+        masked = jnp.where(a_c > 0, vc, -jnp.inf)
+        tmax = masked.max(axis=2)  # [chunk, tr]
+        return out_t.at[row_c].max(tmax), None
+
+    out_t = match_varying(
+        jnp.full((nrt, tr), -jnp.inf, jnp.float32), col_vals
+    )
+    out_t, _ = lax.scan(body, out_t, (a, col, row))
+    return out_t.reshape(nrt * tr)[: tp.num_nodes]
 
 
 # ------------------------------------------------------------------- hybrid

@@ -19,8 +19,10 @@ against pre-scaled feature operands with the denominator column packed in:
 
 so GAT rides the same BCSR machinery as GCN — no per-edge score tensor,
 no gather.  Normalization (scaleArray) happens after merging with the
-residual gather part (ops.gat.gat_aggregate_parts); both sides must use
-the UN-stabilized reference form so partial denominators are commensurate.
+residual gather part (ops.gat.gat_aggregate_parts); partial denominators
+stay commensurate because every part either uses the un-stabilized
+reference form (default) or folds the SAME per-destination shift into its
+dst exponentials (stabilize=True, _hybrid_row_shift).
 """
 
 from __future__ import annotations
@@ -37,13 +39,19 @@ from gnn_computing_tpu.schedule.tiles import TilePlan
 from gnn_computing_tpu.ops.gat import DEFAULT_SLOPE, gat_aggregate_parts
 
 
-def _node_factors(att: jnp.ndarray, slope: float):
-    """(u1, u2, v1, v2): exp of dst/src attention halves on both branches."""
+def _node_factors(att: jnp.ndarray, slope: float, row_shift=None):
+    """(u1, u2, v1, v2): exp of dst/src attention halves on both branches.
+    ``row_shift`` (per-destination softmax stabilizer M_i) folds into the
+    DST exponentials: exp(z - M) = exp(ad - M) exp(as) on branch 1 and
+    exp(s*ad - M) exp(s*as) on branch 2 — a pure row-side rescale, so the
+    tile kernels and residual parts stay denominator-commensurate as long
+    as every part uses the SAME shift."""
     ad = att[:, 0].astype(jnp.float32)
     asrc = att[:, 1].astype(jnp.float32)
+    sh = 0.0 if row_shift is None else row_shift.astype(jnp.float32)
     return (
-        jnp.exp(ad),
-        jnp.exp(slope * ad),
+        jnp.exp(ad - sh),
+        jnp.exp(slope * ad - sh),
         jnp.exp(asrc),
         jnp.exp(slope * asrc),
     )
@@ -62,12 +70,13 @@ def gat_bcsr_xla(
     att: jnp.ndarray,
     relu_slope: float = DEFAULT_SLOPE,
     chunk: int = 256,
+    row_shift=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(numerator [n, f], denominator [n]) of the dense-tile edges."""
     tr, tc = tp.tile_rows, tp.tile_cols
     f = h.shape[-1]
     nct, nrt = tp.num_col_tiles, tp.num_row_tiles
-    u1, u2, v1, v2 = _node_factors(att, relu_slope)
+    u1, u2, v1, v2 = _node_factors(att, relu_slope, row_shift)
 
     ad = _pad_to(att[:, 0].astype(jnp.float32), nrt * tr).reshape(nrt, tr)
     asrc = _pad_to(att[:, 1].astype(jnp.float32), nct * tc).reshape(nct, tc)
@@ -131,8 +140,10 @@ def gat_bcsr_xla(
         den_t = den_t.at[row_c].add(p[:, :, f])
         return (out_t, den_t), None
 
-    out_t = jnp.zeros((nrt, tr, f), jnp.float32)
-    den_t = jnp.zeros((nrt, tr), jnp.float32)
+    from gnn_computing_tpu.ops.spmm import match_varying
+
+    out_t = match_varying(jnp.zeros((nrt, tr, f), jnp.float32), h)
+    den_t = match_varying(jnp.zeros((nrt, tr), jnp.float32), h)
     (out_t, den_t), _ = lax.scan(body, (out_t, den_t), (a, col, row))
     return (
         out_t.reshape(nrt * tr, f)[: tp.num_nodes],
@@ -146,14 +157,17 @@ def gat_bcsr(
     att: jnp.ndarray,
     relu_slope: float = DEFAULT_SLOPE,
     strategy: str = "auto",
+    row_shift=None,
 ):
     """``tp``: one TilePlan or a tuple (mixed bitmask/int8 parts); partial
     (numerator, denominator) sums merge exactly."""
     if isinstance(tp, (tuple, list)):
         parts = [p for p in tp if p is not None and p.num_tiles]
-        num, den = gat_bcsr(parts[0], h, att, relu_slope, strategy)
+        num, den = gat_bcsr(
+            parts[0], h, att, relu_slope, strategy, row_shift
+        )
         for p in parts[1:]:
-            n2, d2 = gat_bcsr(p, h, att, relu_slope, strategy)
+            n2, d2 = gat_bcsr(p, h, att, relu_slope, strategy, row_shift)
             num, den = num + n2, den + d2
         return num, den
     if strategy in ("auto", "pallas"):
@@ -164,23 +178,73 @@ def gat_bcsr(
                 # 'maxdot': exact single-dot form — measured fastest AND
                 # f32-exact at wide logits (PERF_NOTES.md)
                 return pallas_bcsr.gat_bcsr_pallas(
-                    tp, h, att, relu_slope=relu_slope, mode="maxdot"
+                    tp, h, att, relu_slope=relu_slope, mode="maxdot",
+                    row_shift=row_shift,
                 )
             except NotImplementedError:
                 pass
-    return gat_bcsr_xla(tp, h, att, relu_slope)
+    return gat_bcsr_xla(tp, h, att, relu_slope, row_shift=row_shift)
+
+
+def _hybrid_row_shift(tp, plan, att, relu_slope):
+    """Shared per-destination softmax stabilizer for a hybrid schedule:
+    M_i = lrelu(ad_i + max over in-neighbors j of as_j) — the exact
+    per-row max of the attention logits (lrelu is monotone), computed
+    over BOTH the dense tiles (bcsr_rowmax) and the residual plan
+    (segment_max over slots).  One shift shared by every part keeps the
+    partial denominators commensurate; it cancels in num/den, so it only
+    prevents overflow (reference aggr_gat.h:116-164 has no stabilizer —
+    wide logits overflow there)."""
+    from gnn_computing_tpu.ops.bcsr import bcsr_rowmax
+    from gnn_computing_tpu.ops.gat import leaky_relu
+
+    asrc = att[:, 1].astype(jnp.float32)
+    parts = tp if isinstance(tp, (tuple, list)) else (tp,)
+    mx = None
+    for p in parts:
+        if p is None or not p.num_tiles:
+            continue
+        r = bcsr_rowmax(p, asrc)
+        mx = r if mx is None else jnp.maximum(mx, r)
+    if plan is not None and plan.num_edges:
+        src_flat = plan.src_flat()
+        nt, b = plan.num_tasks_padded, plan.block_size
+        slot_iota = jnp.arange(nt * b, dtype=jnp.int32) % b
+        cnt_flat = jnp.repeat(jnp.asarray(plan.count), b)
+        a_slots = jnp.where(
+            slot_iota < cnt_flat, jnp.take(asrc, src_flat), -jnp.inf
+        )
+        task_max = a_slots.reshape(nt, b).max(axis=1)
+        rm = jax.ops.segment_max(
+            task_max,
+            jnp.asarray(plan.dst),
+            num_segments=plan.num_nodes,
+            indices_are_sorted=plan.sorted_by_dst,
+        )
+        mx = rm if mx is None else jnp.maximum(mx, rm)
+    ad = att[:, 0].astype(jnp.float32)
+    m = leaky_relu(ad + mx, relu_slope)
+    # rows with no edges: num = den = 0 regardless; pin the shift to 0 so
+    # the exponentials stay finite
+    return jnp.where(jnp.isfinite(m), m, 0.0)
 
 
 def _hybrid_gat_impl(
     tp, plan, h, att, relu_slope, strategy,
-    att_gather_dtype=None, h_gather_dtype=None,
+    att_gather_dtype=None, h_gather_dtype=None, stabilize=False,
 ):
-    num, den = gat_bcsr(tp, h, att, relu_slope, strategy)
+    row_shift = (
+        _hybrid_row_shift(tp, plan, att, relu_slope) if stabilize else None
+    )
+    num, den = gat_bcsr(
+        tp, h, att, relu_slope, strategy, row_shift=row_shift
+    )
     if plan is not None and plan.num_edges:
         nr, dr, _ = gat_aggregate_parts(
             plan, h, att, relu_slope=relu_slope, stabilize=False,
             att_gather_dtype=att_gather_dtype,
             h_gather_dtype=h_gather_dtype,
+            row_shift=row_shift,
         )
         num = num + nr
         den = den + dr
@@ -188,22 +252,24 @@ def _hybrid_gat_impl(
     return (num / safe[:, None]).astype(h.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _hybrid_gat(
-    tp, plan, h, att, relu_slope, strategy, att_gather_dtype, h_gather_dtype
+    tp, plan, h, att, relu_slope, strategy, att_gather_dtype,
+    h_gather_dtype, stabilize,
 ):
     return _hybrid_gat_impl(
         tp, plan, h, att, relu_slope, strategy,
-        att_gather_dtype, h_gather_dtype,
+        att_gather_dtype, h_gather_dtype, stabilize,
     )
 
 
 def _hybrid_gat_fwd(
-    tp, plan, h, att, relu_slope, strategy, att_gather_dtype, h_gather_dtype
+    tp, plan, h, att, relu_slope, strategy, att_gather_dtype,
+    h_gather_dtype, stabilize,
 ):
     return _hybrid_gat_impl(
         tp, plan, h, att, relu_slope, strategy,
-        att_gather_dtype, h_gather_dtype,
+        att_gather_dtype, h_gather_dtype, stabilize,
     ), (
         tp,
         plan,
@@ -213,17 +279,37 @@ def _hybrid_gat_fwd(
 
 
 def _hybrid_gat_bwd(
-    relu_slope, strategy, att_gather_dtype, h_gather_dtype, res, ct
+    relu_slope, strategy, att_gather_dtype, h_gather_dtype, stabilize,
+    res, ct,
 ):
     # Differentiate the pure-XLA formulation (scan + scatter-add — fully
     # AD-able) with EXACT gather modes; the Pallas forward kernel itself
-    # is not differentiable.
+    # is not differentiable.  The row shift is recomputed inside and is a
+    # CONSTANT w.r.t. (h, att) for AD purposes — it cancels in num/den,
+    # so its (piecewise) dependence on att contributes zero gradient;
+    # stop_gradient makes that explicit.
     tp, plan, h, att = res
-    _, vjp = jax.vjp(
-        lambda hh, aa: _hybrid_gat_impl(tp, plan, hh, aa, relu_slope, "xla"),
-        h,
-        att,
-    )
+
+    def f(hh, aa):
+        shift = (
+            jax.lax.stop_gradient(
+                _hybrid_row_shift(tp, plan, aa, relu_slope)
+            )
+            if stabilize
+            else None
+        )
+        num, den = gat_bcsr(
+            tp, hh, aa, relu_slope, "xla", row_shift=shift
+        )
+        if plan is not None and plan.num_edges:
+            nr, dr, _ = gat_aggregate_parts(
+                plan, hh, aa, relu_slope=relu_slope, row_shift=shift
+            )
+            num, den = num + nr, den + dr
+        safe = jnp.where(den == 0.0, 1.0, den)
+        return (num / safe[:, None]).astype(hh.dtype)
+
+    _, vjp = jax.vjp(f, h, att)
     dh, datt = vjp(ct)
     return (None, None, dh, datt)
 
@@ -240,19 +326,25 @@ def hybrid_gat(
     strategy: str = "auto",
     att_gather_dtype=None,
     h_gather_dtype=None,
+    stabilize: bool = False,
 ) -> jnp.ndarray:
     """Fused GAT forward over a hybrid (dense tiles + residual) schedule.
 
     Requires count tiles (unweighted densification) — attention provides
-    the edge weights.  Residual part uses the un-stabilized reference form
-    (aggr_gat.h:167-213) so the partial softmax denominators merge exactly.
-    Differentiable in (h, att): backward re-derives the VJP through the XLA
-    formulation regardless of the forward strategy."""
+    the edge weights.  stabilize=False (default, bench parity) uses the
+    un-stabilized reference form (aggr_gat.h:167-213) — wide attention
+    logits overflow exactly as they do in the reference.  stabilize=True
+    computes ONE exact per-destination shift over tiles+residual
+    (_hybrid_row_shift) and folds it into the dst exponentials of every
+    part, so the partial denominators still merge exactly while |z| up to
+    ~80 stays finite — costs one extra A-stream + att-gather pass per
+    layer.  Differentiable in (h, att): backward re-derives the VJP
+    through the XLA formulation regardless of the forward strategy."""
     for p in tp if isinstance(tp, (tuple, list)) else (tp,):
         assert p.scale_dst is None and p.scale_src is None, (
             "hybrid GAT needs raw count tiles (no factored scales)"
         )
     return _hybrid_gat(
         tp, plan, h, att, relu_slope, strategy,
-        att_gather_dtype, h_gather_dtype,
+        att_gather_dtype, h_gather_dtype, stabilize,
     )

@@ -107,6 +107,7 @@ def gat_aggregate_parts(
     packed: Optional[bool] = None,
     att_gather_dtype=None,
     h_gather_dtype=None,
+    row_shift=None,
 ):
     """Un-normalized fused attention aggregation: returns
     (numerator [n, f], denominator [n], slot_scores) — the pieces the
@@ -133,6 +134,12 @@ def gat_aggregate_parts(
     nt, b = plan.num_tasks_padded, plan.block_size
     if packed is None:
         packed = False
+    if row_shift is not None:
+        # caller-provided per-destination softmax shift (the hybrid path
+        # shares ONE shift across tiles + residual so the partial
+        # denominators stay commensurate); same math as the internal
+        # stabilize branch with row_max := row_shift
+        stabilize = True
     if packed and not stabilize:
         src_flat = plan.src_flat()
         tbl = jnp.concatenate(
@@ -186,14 +193,17 @@ def gat_aggregate_parts(
         return num, denom, score_flat.reshape(nt, b)
     z = _att_slots(plan, att, gather_dtype=att_gather_dtype)
     z = leaky_relu(z, relu_slope)
-    task_max = jnp.max(jnp.where(mask, z, -jnp.inf), axis=1)
-    row_max = jax.ops.segment_max(
-        task_max,
-        dst,
-        num_segments=plan.num_nodes,
-        indices_are_sorted=plan.sorted_by_dst,
-    )
-    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    if row_shift is not None:
+        row_max = row_shift.astype(jnp.float32)
+    else:
+        task_max = jnp.max(jnp.where(mask, z, -jnp.inf), axis=1)
+        row_max = jax.ops.segment_max(
+            task_max,
+            dst,
+            num_segments=plan.num_nodes,
+            indices_are_sorted=plan.sorted_by_dst,
+        )
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
     z = z - row_max[dst][:, None]
     score = jnp.where(mask, jnp.exp(z), 0.0)  # [nt, B]
     # (An optimization_barrier here — forcing the score to materialize

@@ -46,15 +46,47 @@ def bf16_residue_chunks(x: jnp.ndarray, n: int) -> list:
     return chunks
 
 
+# bit-tile decode variant (probe-tunable): 'concat_i32' = widen to int32,
+# 8 shift+mask, sublane concat, one wide convert; 'sign_i8' = arithmetic
+# int8 left-shifts put bit b in the sign position, compare-to-zero planes,
+# one wide select.  sign_i8 is REJECTED by Mosaic ("Invalid relayout ...
+# vector<512x128xi1>" on the plane concat — measured 2026-08-19); and the
+# measured per-tile times (bits 239.7/157/157 ns at f=128/64/32 vs int8
+# 237.8) show the decode eats exactly the A-DMA saving — bit tiles are a
+# MEMORY lever (A 7.9 -> 2.8 GB), not a time lever, on this part.
+BITS_DECODE = "concat_i32"
+
+
 def decode_bit_tile(blk: jnp.ndarray, out_dtype) -> jnp.ndarray:
     """Plane-major bit-packed tile [R//8, C] uint8 -> [R, C] 0/1 in
     ``out_dtype`` (schedule.tiles.pack_bit_tiles layout: bit b of
-    blk[i, c] is cell (b*(R//8) + i, c)).  8 constant shift+mask ops on
-    the compact array + ONE sublane concatenation — no lane relayout, so
-    the decode hides under the (A+H) DMA pipeline."""
+    blk[i, c] is cell (b*(R//8) + i, c)).  Constant-shift planes + ONE
+    sublane concatenation — no lane relayout."""
+    if BITS_DECODE == "sign_i8":
+        w = lax.bitcast_convert_type(blk, jnp.int8)
+        planes = [(w << (7 - b)) < 0 for b in range(8)]
+        bits = jnp.concatenate(planes, axis=0)
+        return jnp.where(
+            bits,
+            jnp.ones((), out_dtype),
+            jnp.zeros((), out_dtype),
+        )
     w = blk.astype(jnp.int32)
     planes = [((w >> b) & 1) for b in range(8)]
     return jnp.concatenate(planes, axis=0).astype(out_dtype)
+
+
+def out_struct(shape, dtype, ref):
+    """ShapeDtypeStruct whose varying-mesh-axes (vma) match ``ref`` — a
+    pallas_call inside shard_map(check_vma=True) must declare how its
+    outputs vary over the manual mesh axes."""
+    try:
+        vma = jax.typeof(ref).vma
+    except Exception:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
 
 
 def _tpu_available() -> bool:
@@ -280,7 +312,7 @@ def bcsr_spmm_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
+        out_shape=out_struct((nrt * tr, f), jnp.float32, h),
     )(rc, a, *([h_op] * K))
     out = out[: tp.num_nodes]
     if tp.scale_dst is not None:
@@ -297,6 +329,7 @@ def gat_bcsr_pallas(
     mode: str = "maxdot",
     pack: int = None,
     hv_chunks: int = 2,
+    row_shift=None,
 ):
     """Factored fused-GAT over dense tiles (see ops/bcsr_gat.py for the
     math).  Returns (numerator [n, f], denominator [n]) accumulated across
@@ -349,8 +382,16 @@ def gat_bcsr_pallas(
     asv = pad_to(att[:, 1].astype(jnp.float32), nct * tc)
     # [nct, 1, tc] so the (1, 1, tc) block's last two dims match the array
     asrc = asv.reshape(nct, 1, tc)
-    u1 = jnp.exp(ad)
-    u2 = jnp.exp(relu_slope * ad)
+    # per-destination softmax stabilizer folds into the DST exponentials
+    # only (exp(z - M) = exp(ad - M) exp(as)); the in-kernel branch tests
+    # and the q = u2/u1 ratio use raw ad and are shift-invariant
+    sh = (
+        0.0
+        if row_shift is None
+        else pad_to(row_shift.astype(jnp.float32), nrt * tr)[:, None]
+    )
+    u1 = jnp.exp(ad - sh)
+    u2 = jnp.exp(relu_slope * ad - sh)
     hp = pad_to(h.astype(jnp.float32), nct * tc)
     v1 = jnp.exp(asv)[:, None]
     v2 = jnp.exp(relu_slope * asv)[:, None]
@@ -425,8 +466,8 @@ def gat_bcsr_pallas(
         pltpu.VMEM((tr, 1), jnp.float32),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((nrt * tr, f), jnp.float32),
-        jax.ShapeDtypeStruct((nrt * tr, 1), jnp.float32),
+        out_struct((nrt * tr, f), jnp.float32, h),
+        out_struct((nrt * tr, 1), jnp.float32, h),
     ]
 
     if mode == "maxdot":
@@ -508,7 +549,9 @@ def gat_bcsr_pallas(
         return num[: tp.num_nodes], den[: tp.num_nodes, 0]
 
     if mode == "merged":
-        q = u2 / u1
+        # q = u2/u1 computed shift-free (the u's may carry a row_shift;
+        # the ratio is shift-invariant but 0/0s if both underflow)
+        q = jnp.exp((relu_slope - 1.0) * ad)
         r = (v2 / v1).reshape(nct, 1, tc)
 
         def kernel(rc_ref, a_ref, ad_ref, u1_ref, q_ref, *refs):

@@ -32,6 +32,24 @@ from jax import lax
 from gnn_computing_tpu.schedule.plan import AggregationPlan
 
 
+def match_varying(x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Mark ``x`` as varying over whatever manual mesh axes ``ref`` varies
+    over (no-op outside shard_map).  Scan carries initialized with fresh
+    zeros inside a shard_map body otherwise fail the carry-type check
+    ("varying manual axes do not match") when the loop body mixes them
+    with per-shard data."""
+    try:
+        vma = jax.typeof(ref).vma
+    except Exception:
+        return x
+    if not vma:
+        return x
+    axes = tuple(vma)
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axes, to="varying")
+    return jax.lax.pvary(x, axes)  # older jax
+
+
 # --------------------------------------------------------------- slot helpers
 def slot_positions(plan: AggregationPlan):
     """Scheduled edge position of every (task, slot): cum_count[t] + b.
@@ -211,7 +229,7 @@ def _spmm_xla_chunked(
         )
         return out, None
 
-    out0 = jnp.zeros((plan.num_nodes, f), h.dtype)
+    out0 = match_varying(jnp.zeros((plan.num_nodes, f), h.dtype), h)
     out, _ = lax.scan(
         body,
         out0,
