@@ -110,7 +110,10 @@ def test_allgather_million_edge_scale():
         residual_block=4, pack=8,
     )
     build_s = time.time() - t0
-    assert build_s < 120.0, f"plan build took {build_s:.0f}s (budget 120)"
+    # Guard against quadratic plan-build blowup (the ring form's failure
+    # mode), not absolute speed: the budget needs headroom for host
+    # contention (a concurrent cache build measured 152s vs ~60s clean).
+    assert build_s < 300.0, f"plan build took {build_s:.0f}s (budget 300)"
     mesh = make_mesh(num_graph=8)
     f = 32
     h = np.zeros((gp.num_nodes, f), np.float32)
