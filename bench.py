@@ -89,6 +89,68 @@ def _cache_dir():
     return d
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (round-2 postmortem: the reddit
+    hybrid forward takes 2-11 min to compile through the axon tunnel and
+    the driver's capture budget is shorter than that — the compile must be
+    paid once per plan shape, during the build session, and *loaded* by
+    every later timed process).  Safe on the axon backend (verified: cache
+    entries are written and re-loaded across processes)."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_cache_dir(), "xla")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+class Emitter:
+    """Prints the driver-facing JSON line after the FIRST measured rep
+    (an external timeout then still leaves a number behind — round 2's
+    capture died mid-compile with nothing on the board); later reps only
+    refine to stderr and the capture log."""
+
+    def __init__(self, metric, base, to_value, capture_extra=None):
+        self.metric = metric
+        self.base = base
+        self.to_value = to_value
+        self.emitted = False
+        self.last = None
+        self.capture_extra = capture_extra or {}
+
+    def record(self, min_s):
+        value = self.to_value(min_s)
+        rec = {
+            "metric": self.metric,
+            "value": value,
+            "unit": "edges/s",
+            "vs_baseline": value / self.base,
+        }
+        self.last = dict(rec, time_s=min_s, **self.capture_extra)
+        return json.dumps(rec)
+
+    def on_rep(self, r, k, reps):
+        line = self.record(r.min_s)
+        if not self.emitted:
+            print(line, flush=True)
+            self.emitted = True
+        else:
+            log(f"[refine rep {k}/{reps}] {line}")
+
+    def finish(self):
+        """Append the final refined record to the capture log."""
+        if self.last is None:
+            return
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "results", "capture.jsonl",
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(dict(self.last, ts=time.time())) + "\n")
+
+
 def build_graph(n, m, kind="rmat"):
     """Deterministic synthetic graph at reddit scale, cached as npz.
 
@@ -118,17 +180,46 @@ def build_graph(n, m, kind="rmat"):
     return g
 
 
-def build_gather(g, block_size, n=None, m=None, graph_kind="rmat"):
+def lazy_graph(n, m, kind):
+    """Memoized graph getter: the timed phase (and a fully-cached build
+    phase) must never pay the multi-GB edges load just to hand plan
+    builders an argument they won't touch on a cache hit."""
+    box = []
+
+    def get():
+        if not box:
+            box.append(build_graph(n, m, kind=kind))
+        return box[0]
+
+    return get
+
+
+def gather_path(n, m, block_size, graph_kind):
+    return os.path.join(
+        _cache_dir(), f"gather_{graph_kind}_n{n}_m{m}_b{block_size}.npz"
+    )
+
+
+def build_gather(
+    g_fn, block_size, n=None, m=None, graph_kind="rmat", check_only=False
+):
     """NG gather plan, disk-cached (so the timed phase loads instead of
-    rebuilding — the host-contamination rule applies to every plan kind)."""
+    rebuilding — the host-contamination rule applies to every plan kind).
+
+    check_only: the build phase's cache audit — an existing file is proof
+    enough; never load multi-GB arrays just to conclude they are cached
+    (round-2 postmortem: the fully-cached build phase spent minutes
+    re-loading an 8.8 GB npz on the 1-CPU host before the TPU was even
+    touched)."""
     from gnn_computing_tpu.schedule import neighbor_grouping_plan
     from gnn_computing_tpu.schedule.plan import AggregationPlan
 
     path = None
     if n is not None:
-        path = os.path.join(
-            _cache_dir(), f"gather_{graph_kind}_n{n}_m{m}_b{block_size}.npz"
-        )
+        path = gather_path(n, m, block_size, graph_kind)
+    if path and os.path.exists(path) and check_only:
+        log(f"cache ok: {os.path.basename(path)}")
+        return None
     if path and os.path.exists(path):
         log(f"loading cached gather plan {os.path.basename(path)}")
         z = np.load(path)
@@ -147,7 +238,7 @@ def build_gather(g, block_size, n=None, m=None, graph_kind="rmat"):
             partition_starts=(0, int(z["num_tasks"])),
         )
     t0 = time.time()
-    plan = neighbor_grouping_plan(g, block_size)
+    plan = neighbor_grouping_plan(g_fn(), block_size)
     log(f"gather plan: {time.time() - t0:.1f}s  {plan.stats()}")
     if path:
         kw = {} if plan.val is None else {"val": plan.val}
@@ -234,8 +325,9 @@ def _load_tile(z, prefix, num_nodes, n_src):
 
 
 def build_hybrid(
-    g, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16",
+    g_fn, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16",
     pack=8, reorder="degree", graph_kind="rmat", bit_tiles=False,
+    check_only=False,
 ):
     """Reordered hybrid aggregator, disk-cached (the tile extraction
     is an O(m log m) host pass — the reference caches its preprocessing
@@ -255,6 +347,9 @@ def build_hybrid(
         graph_kind, reorder, bit_tiles,
     )
     path = os.path.join(_cache_dir(), tag + ".npz")
+    if os.path.exists(path) and check_only:
+        log(f"cache ok: {tag}")
+        return None
     if os.path.exists(path):
         log(f"loading cached hybrid plan {tag}")
         z = np.load(path)
@@ -290,6 +385,7 @@ def build_hybrid(
         )
 
     t0 = time.time()
+    g = g_fn()
     perm_path = os.path.join(
         _cache_dir(), f"perm_{graph_kind}_n{n}_m{m}_{reorder}.npy"
     )
@@ -305,6 +401,10 @@ def build_hybrid(
         from gnn_computing_tpu.graph.reorder import cluster_reorder
 
         perm = cluster_reorder(g)
+    elif reorder == "cluster_exact":
+        from gnn_computing_tpu.graph.reorder import cluster_reorder_exact
+
+        perm = cluster_reorder_exact(g)
     else:
         perm = degree_sort(g)
     if not os.path.exists(perm_path):
@@ -356,6 +456,12 @@ def build_hybrid(
         tile_bits=(
             None if agg.tile_bits is None else agg.tile_bits.pad_runs(pack)
         ),
+    )
+
+
+def transpose_cached(cache_tag):
+    return os.path.exists(
+        os.path.join(_cache_dir(), f"{cache_tag}.transpose.npz")
     )
 
 
@@ -494,19 +600,23 @@ def run_train(args, g, n, m):
     from gnn_computing_tpu.models.gcn import gcn_forward_bench
     from gnn_computing_tpu.utils.timing import benchmark_chained
 
+    tag = hybrid_tag(
+        n, m, args.threshold, args.tile_rows, args.residual_block,
+        args.tile_dtype, args.graph, args.reorder, args.bit_tiles,
+    )
+    # build-phase fast path: when every cache file already exists, an
+    # exists-check is the whole job (never load GBs to prove it)
+    need_t = args.model == "gcn" and not transpose_cached(tag)
     sched = build_hybrid(
         g, n, m, args.threshold, args.tile_rows, args.residual_block,
         tile_dtype=args.tile_dtype, pack=args.pack,
         reorder=args.reorder, graph_kind=args.graph,
         bit_tiles=args.bit_tiles,
+        check_only=(args.phase == "build" and not need_t),
     )
-    if args.model == "gcn":
+    if args.model == "gcn" and (args.phase != "build" or need_t):
         log("building transposed plans for backward...")
         t0 = time.time()
-        tag = hybrid_tag(
-            n, m, args.threshold, args.tile_rows, args.residual_block,
-            args.tile_dtype, args.graph, args.reorder, args.bit_tiles,
-        )
         sched = add_transpose(sched, args.pack, cache_tag=tag)
         log(f"transpose: {time.time() - t0:.1f}s")
     if args.phase == "build":
@@ -516,7 +626,14 @@ def run_train(args, g, n, m):
 
     if args.model == "gat":
         params = init_gat_params(jax.random.key(0), BENCH_DIMS)
-        fwd = lambda s, pp, hh: gat_forward(s, pp, hh, fast=False)
+        # stabilize=True on the TRAINING path: wide logits during training
+        # silently overflow the reference-form softmax (exp without a
+        # per-destination shift); the stabilized form costs one extra tile
+        # pass and passes the |z|~30 gate (tests/test_gat_stabilize.py).
+        # The forward bench keeps the reference form for bench parity.
+        fwd = lambda s, pp, hh: gat_forward(
+            s, pp, hh, fast=False, stabilize=True
+        )
     else:
         params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
         fwd = gcn_forward_bench
@@ -546,29 +663,21 @@ def run_train(args, g, n, m):
         )
 
     log("compiling + warmup (train step)...")
+    passes = 6  # 3 fwd + 3 bwd-dH aggregations
+    em = Emitter(
+        f"{args.model}3_train_step_agg_passes_edges_per_s_per_chip",
+        SCALE_BASELINES[args.scale][args.model],
+        lambda t: passes * m / t,
+        capture_extra={"model": args.model, "train": True},
+    )
     r = benchmark_chained(
         lambda hh, s, p, o, yy: step(hh, s, p, o, yy)[None],
         h, sched, params, opt_state, labels,
-        iters=args.iters, reps=3,
+        iters=args.iters, reps=3, on_rep=em.on_rep,
     )
     log(f"first call: {r.compile_s:.1f}s")
     log(f"train step: {r.min_s * 1e3:.2f} ms")
-    passes = 6  # 3 fwd + 3 bwd-dH aggregations
-    rate = passes * m / r.min_s
-    base = SCALE_BASELINES[args.scale][args.model]
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{args.model}3_train_step_agg_passes_edges_per_s"
-                    "_per_chip"
-                ),
-                "value": rate,
-                "unit": "edges/s",
-                "vs_baseline": rate / base,
-            }
-        )
-    )
+    em.finish()
 
 
 def main():
@@ -596,7 +705,7 @@ def main():
     )
     ap.add_argument(
         "--reorder", default=None,
-        choices=["degree", "lpa", "hublpa", "cluster"],
+        choices=["degree", "lpa", "hublpa", "cluster", "cluster_exact"],
         help="hybrid-plan reorder; default hublpa (global hub stripe + "
         "community-contiguous LPA) for --graph community, degree for "
         "rmat",
@@ -712,6 +821,12 @@ def main():
             [sys.executable, script, *argv, "--phase", "timed"]
         ))
 
+    if args.phase == "timed":
+        # persistent XLA executable cache: the reddit hybrid compile
+        # (2-11 min through the tunnel) is paid once — in the builder's
+        # session — and LOADED by every later timed process
+        _enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -725,8 +840,12 @@ def main():
     from gnn_computing_tpu.models.gat import gat_forward
     from gnn_computing_tpu.models.gcn import gcn_forward_bench
 
+    args.scale_label = args.scale
     if args.quick:
         n, m = 1 << 16, 1 << 22
+        # --quick must not masquerade as the full-scale metric in the
+        # capture log (a 4M-edge smoke labeled "reddit_scale" is a lie)
+        args.scale_label = "quick"
     elif args.scale == "products":
         n, m = PRODUCTS_N, PRODUCTS_M
     else:
@@ -734,7 +853,9 @@ def main():
     baselines = SCALE_BASELINES[args.scale]
     if args.reorder is None:
         args.reorder = "hublpa" if args.graph == "community" else "degree"
-    g = build_graph(n, m, kind=args.graph)
+    # lazy: neither a fully-cached build phase nor the timed phase ever
+    # touches the multi-GB edge arrays
+    g = lazy_graph(n, m, args.graph)
 
     if args.train:
         assert args.model in ("gcn", "gat") and args.strategy == "hybrid"
@@ -767,14 +888,17 @@ def main():
         spath = os.path.join(
             _cache_dir(), f"sample{SAGE_K}_{args.graph}_n{n}_m{m}.npz"
         )
+        if args.phase == "build":
+            if not os.path.exists(spath):
+                nbr = presample_fixed_neighbors(g(), k=SAGE_K, seed=2)
+                np.savez(spath, nbr=nbr)
+            log("[bench] build phase done (sample cached)")
+            return
         if os.path.exists(spath):
             nbr = np.load(spath)["nbr"]
         else:
-            nbr = presample_fixed_neighbors(g, k=SAGE_K, seed=2)
+            nbr = presample_fixed_neighbors(g(), k=SAGE_K, seed=2)
             np.savez(spath, nbr=nbr)
-        if args.phase == "build":
-            log("[bench] build phase done (sample cached)")
-            return
         import jax
         import jax.numpy as jnp
 
@@ -785,21 +909,19 @@ def main():
 
         log("compiling + warmup...")
         gdt = None if args.layer_config == "exact" else jnp.float16
+        em = Emitter(
+            f"sagelstm_{args.scale_label}_scale_edges_per_s_per_chip",
+            baselines["sage"], lambda t: n * SAGE_K / t,
+        )
         r = benchmark_chained(
             lambda xx, p, nb: lstm_aggregate(
                 p, xx, nb, "redundancy_bypass", gate_gather_dtype=gdt
             ),
-            x, params, nbr, iters=args.iters, reps=3,
+            x, params, nbr, iters=args.iters, reps=3, on_rep=em.on_rep,
         )
         log(f"first call: {r.compile_s:.1f}s")
         log(f"sage aggregate: {r.min_s * 1e3:.2f} ms")
-        eps = n * SAGE_K / r.min_s
-        print(json.dumps({
-            "metric": f"sagelstm_{args.scale}_scale_edges_per_s_per_chip",
-            "value": eps,
-            "unit": "edges/s",
-            "vs_baseline": eps / baselines["sage"],
-        }))
+        em.finish()
         return
 
     if args.model == "sddmm":
@@ -813,7 +935,10 @@ def main():
         from gnn_computing_tpu.utils.timing import benchmark_chained
 
         f = 32
-        plan = build_gather(g, args.block_size, n, m, args.graph)
+        plan = build_gather(
+            g, args.block_size, n, m, args.graph,
+            check_only=(args.phase == "build"),
+        )
         if args.phase == "build":
             log("[bench] build phase done (gather plan cached)")
             return
@@ -822,26 +947,24 @@ def main():
         b = jnp.asarray(normal_features(n, f, seed=4) * 0.1)
         gdt = "f16_split2" if args.layer_config == "fast" else None
         log("compiling + warmup...")
+        # vs_baseline: the gcn baseline counts 3 passes' edges over the
+        # full forward, which equals the V100 per-pass rate (transforms
+        # are a negligible share of its forward)
+        em = Emitter(
+            f"sddmm_{args.scale_label}_scale_edges_per_s_per_chip",
+            baselines["sddmm"], lambda t: m / t,
+        )
         # chunked: the split2 reconstruct materializes its chunk's gather
         # ([chunk*B, 2f]); unchunked at 118M slots is a 30 GB intermediate
         r = benchmark_chained(
             lambda aa, p, bb: sddmm_slots_chunked(
                 p, aa, bb, gather_dtype=gdt
             ),
-            a, plan, b, iters=args.iters, reps=3,
+            a, plan, b, iters=args.iters, reps=3, on_rep=em.on_rep,
         )
         log(f"first call: {r.compile_s:.1f}s")
         log(f"sddmm pass: {r.min_s * 1e3:.2f} ms")
-        eps = m / r.min_s
-        print(json.dumps({
-            "metric": f"sddmm_{args.scale}_scale_edges_per_s_per_chip",
-            "value": eps,
-            "unit": "edges/s",
-            # the gcn baseline counts 3 passes' edges over the full
-            # forward, which equals the V100 per-pass rate (transforms
-            # are a negligible share of its forward)
-            "vs_baseline": eps / baselines["sddmm"],
-        }))
+        em.finish()
         return
 
     # per-model plan defaults (see --threshold help); measured at reddit
@@ -871,15 +994,18 @@ def main():
     if args.pack is None:
         args.pack = 16
 
+    chk = args.phase == "build"
     if args.strategy == "hybrid":
         sched = build_hybrid(
             g, n, m, args.threshold, args.tile_rows, args.residual_block,
             tile_dtype=args.tile_dtype, pack=args.pack,
             reorder=args.reorder, graph_kind=args.graph,
-            bit_tiles=args.bit_tiles,
+            bit_tiles=args.bit_tiles, check_only=chk,
         )
     else:
-        sched = build_gather(g, args.block_size, n, m, args.graph)
+        sched = build_gather(
+            g, args.block_size, n, m, args.graph, check_only=chk
+        )
     sched2 = None
     if (
         args.strategy == "hybrid"
@@ -894,7 +1020,7 @@ def main():
             g, n, m, args.threshold2, args.tile_rows, args.residual_block,
             tile_dtype=args.tile_dtype, pack=args.pack,
             reorder=args.reorder, graph_kind=args.graph,
-            bit_tiles=args.bit_tiles,
+            bit_tiles=args.bit_tiles, check_only=chk,
         )
     if args.phase == "build":
         log("[bench] build phase done (plan cached)")
@@ -921,21 +1047,19 @@ def main():
         # exact for integer-count tiles (models.gcn.fast_layer_opts)
         thm = "split" if args.layer_config == "fast" else "auto"
         log("compiling + warmup...")
+        em = Emitter(
+            f"spmm_{args.scale_label}_scale_edges_per_s_per_chip",
+            baselines["spmm"], lambda t: m / t,
+        )
         r = benchmark_chained(
             lambda hh, s: s.run(
                 hh, residual_gather_dtype=rdt, tile_h_mode=thm
             ),
-            h, sched, iters=args.iters, reps=3,
+            h, sched, iters=args.iters, reps=3, on_rep=em.on_rep,
         )
         log(f"first call: {r.compile_s:.1f}s")
         log(f"spmm pass: {r.min_s * 1e3:.2f} ms")
-        eps = m / r.min_s
-        print(json.dumps({
-            "metric": f"spmm_{args.scale}_scale_edges_per_s_per_chip",
-            "value": eps,
-            "unit": "edges/s",
-            "vs_baseline": eps / baselines["spmm"],
-        }))
+        em.finish()
         return
     if args.model == "gat":
         params = init_gat_params(jax.random.key(0), BENCH_DIMS)
@@ -972,6 +1096,16 @@ def main():
 
     sched_arg = sched if sched2 is None else (sched, sched2, sched2)
     log("compiling + warmup...")
+    em = Emitter(
+        f"{args.model}3_{args.scale_label}_scale_edges_per_s_per_chip",
+        baselines[args.model], lambda t: 3 * m / t,
+        capture_extra={
+            "model": args.model, "scale": args.scale,
+            "graph": args.graph, "reorder": args.reorder,
+            "threshold": args.threshold, "threshold2": args.threshold2,
+            "tile_rows": args.tile_rows, "strategy": args.strategy,
+        },
+    )
     r = benchmark_chained(
         lambda hh, s, p: forward(s, p, hh),
         h,
@@ -979,25 +1113,11 @@ def main():
         params,
         iters=args.iters,
         reps=3,
+        on_rep=em.on_rep,
     )
     log(f"first call: {r.compile_s:.1f}s")
-    best = r.min_s
-    log(f"forward: {best * 1e3:.2f} ms")
-
-    edges_per_s = 3 * m / best
-    base = baselines[args.model]
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{args.model}3_{args.scale}_scale_edges_per_s_per_chip"
-                ),
-                "value": edges_per_s,
-                "unit": "edges/s",
-                "vs_baseline": edges_per_s / base,
-            }
-        )
-    )
+    log(f"forward: {r.min_s * 1e3:.2f} ms")
+    em.finish()
 
 
 if __name__ == "__main__":

@@ -65,7 +65,7 @@ def benchmark(
 
 
 def benchmark_chained(
-    fn: Callable, *args, iters: int = 8, reps: int = 2
+    fn: Callable, *args, iters: int = 8, reps: int = 2, on_rep=None
 ) -> BenchResult:
     """Per-iteration time of ``fn(*args)`` with the iterations CHAINED
     inside one jitted fori_loop, a LOOP-CARRIED DEPENDENCE, and a two-point
@@ -83,6 +83,11 @@ def benchmark_chained(
         taking the slope cancels it exactly.
 
     ``fn`` must return a JAX array; args[0] must be a float array.
+
+    ``on_rep(result, k, reps)`` is called after each rep pair with the
+    estimate over reps 1..k — a driver-facing bench can emit its metric
+    after the FIRST completed rep so an external timeout still leaves a
+    number behind (the round-2 capture died with nothing on the board).
     """
     import jax
     import jax.numpy as jnp
@@ -111,23 +116,27 @@ def benchmark_chained(
     # Difference min-of-reps, not per-rep pairs: per-rep slopes go negative
     # when dispatch jitter exceeds the (small-problem) loop-body time.
     t1s, t2s = [], []
-    for _ in range(reps):
+    result = None
+    for k in range(reps):
         t0 = time.perf_counter()
         float(c1(*args))
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(c2(*args))
         t2s.append(time.perf_counter() - t0)
-    slope = (min(t2s) - min(t1s)) / iters
-    noise_floor = slope <= 0
-    if noise_floor:  # noise floor: fall back to the overhead-inclusive bound
-        slope = min(t2s) / (2 * iters)
-    mean = max((sum(t2s) - sum(t1s)) / len(t1s) / iters, slope)
-    return BenchResult(
-        mean_s=mean,
-        min_s=slope,
-        max_s=max(t2s) / (2 * iters),
-        iters=iters * reps,
-        compile_s=compile_s,
-        noise_floor=noise_floor,
-    )
+        slope = (min(t2s) - min(t1s)) / iters
+        noise_floor = slope <= 0
+        if noise_floor:  # noise floor: overhead-inclusive bound
+            slope = min(t2s) / (2 * iters)
+        mean = max((sum(t2s) - sum(t1s)) / len(t1s) / iters, slope)
+        result = BenchResult(
+            mean_s=mean,
+            min_s=slope,
+            max_s=max(t2s) / (2 * iters),
+            iters=iters * (k + 1),
+            compile_s=compile_s,
+            noise_floor=noise_floor,
+        )
+        if on_rep is not None:
+            on_rep(result, k + 1, reps)
+    return result

@@ -104,16 +104,19 @@ def test_allgather_million_edge_scale():
 
     n, m = 169_343, 1_166_243  # ogbn-arxiv scale (util.py:24/:88)
     g = rmat_graph(n, m, seed=11, with_val=False)
-    t0 = time.time()
+    t0 = time.process_time()
     plan, gp = build_allgather_hybrid(
         g, 8, tile_rows=256, tile_cols=128, threshold=16,
         residual_block=4, pack=8,
     )
-    build_s = time.time() - t0
+    build_s = time.process_time() - t0
     # Guard against quadratic plan-build blowup (the ring form's failure
-    # mode), not absolute speed: the budget needs headroom for host
-    # contention (a concurrent cache build measured 152s vs ~60s clean).
-    assert build_s < 300.0, f"plan build took {build_s:.0f}s (budget 300)"
+    # mode), not absolute speed.  CPU time, not wall time: concurrent
+    # host load inflated the wall measurement 2.5x (152s vs ~60s clean),
+    # and a wall budget loose enough to absorb that would also pass a
+    # real 2-4x regression.  process_time is contention-immune, so the
+    # budget can sit at ~2.5x the clean build.
+    assert build_s < 150.0, f"plan build took {build_s:.0f}s CPU (budget 150)"
     mesh = make_mesh(num_graph=8)
     f = 32
     h = np.zeros((gp.num_nodes, f), np.float32)
