@@ -8,9 +8,9 @@ our_GCN on reddit.dgl): 3 layers 512->128->64->32, dense transform then
 scheduled aggregation then ReLU per layer (our.py:171-176, 247-263).  The
 graph is a deterministic synthetic at reddit scale (232,965 v /
 114,615,891 e, util.py:31/:133) since the artifact's data.zip is not
-fetchable here: --graph community (default) reproduces reddit.dgl's
-community/co-comment structure, --graph rmat is the structure-free
-adversarial configuration (see build_graph).
+fetchable here: --graph rmat (default headline — measured fastest, see
+--graph help) is the structure-free power-law configuration, --graph
+community reproduces reddit.dgl's community/co-comment structure.
 
 Strategy 'hybrid' (default): reorder (LPA community-contiguous for
 community graphs, degree sort for rmat — graph/reorder.py), then MXU

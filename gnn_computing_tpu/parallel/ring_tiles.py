@@ -1,5 +1,28 @@
 """Distributed HYBRID aggregation: BCSR tiles + residual gather on a ring.
 
+ROLE (settled round 3): the ring is the CAPACITY-ONLY fallback; the
+DEFAULT distribution is `parallel/allgather_tiles.py`.  The crossover is
+a memory bound, not a speed crossover:
+
+  * The all-gather form materializes the full gathered H on every chip
+    (n_pad * f * 4 B: reddit f=512 -> 0.48 GB, products f=512 -> 5.0 GB
+    of v5e's 16 GB HBM) and then reuses the UNMODIFIED single-chip
+    Pallas kernels at their measured single-chip rates (PERF_NOTES) —
+    per-owner padding, pack-K runs, bit tiles all transfer.
+  * The ring never holds more than one feature SHARD (n_pad/D * f * 4 B)
+    but pays per-step einsum tiles (no pack-K Pallas dispatch), f32 tile
+    storage, and per-(owner,step)-cell max padding — all strictly slower
+    per edge than the single-chip kernel path.
+
+  => use the ring exactly when the gathered H cannot fit: roughly
+  n * f * 4 B > ~8 GB/chip (half of HBM, leaving room for the tile plan,
+  residual arrays, and activations) — e.g. 16 GB H at n=8M/f=512, where
+  the all-gather form is simply inadmissible.  Below that bound the
+  all-gather form wins outright, so the ring keeps its simple (einsum,
+  globally-padded) formulation rather than duplicating the Pallas
+  dispatch machinery; `__graft_entry__.dryrun_multichip` exercises it at
+  toy scale only for coverage of the ppermute pipeline.
+
 The single-chip hybrid (schedule/tiles.py + ops/bcsr.py) is ~3x faster than
 any gather formulation at reddit scale; this module is its multi-chip form,
 extending the gather-only ring (parallel/ring.py).  The reference has no
