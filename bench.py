@@ -101,7 +101,10 @@ def _enable_compile_cache():
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(_cache_dir(), "xla")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # threshold 0: the axon backend's LOCAL compile time understates the
+    # real first-call cost (measured: a 0.87s-local-compile program took
+    # 38.6s end-to-end through the tunnel) — cache everything.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 

@@ -41,6 +41,28 @@ def degree_sort(g: CSRGraph, by: str = "total") -> np.ndarray:
     return np.argsort(-d, kind="stable").astype(np.int64)
 
 
+def deal_shards(perm: np.ndarray, num_shards: int) -> np.ndarray:
+    """Re-deal an ordered permutation round-robin across contiguous shards.
+
+    Rank r goes to shard r % D at local position r // D, so each of the D
+    contiguous shard row-ranges gets an equal share of every degree
+    stratum.  Needed by destination-owned distribution (e.g.
+    parallel/allgather_tiles): a plain degree sort puts ALL hubs in shard
+    0, so per-owner plans pad to the hub owner's tile count (measured:
+    8x memory blowup / host OOM at products scale).  Within a shard the
+    degree order is preserved (ranks s, s+D, s+2D, ... descending), so
+    tile densification inside each shard keeps its hub stripes.
+    """
+    n = len(perm)
+    d = int(num_shards)
+    ss = -(-n // d)
+    r = np.arange(n, dtype=np.int64)
+    # stable argsort of the target position is a bijection even when n is
+    # not a multiple of D (gaps in the key space collapse in rank order)
+    key = (r % d) * ss + r // d
+    return perm[np.argsort(key, kind="stable")]
+
+
 # ----------------------------------------------------------- MinHash-LSH
 _MERSENNE = (1 << 61) - 1
 

@@ -182,6 +182,19 @@ def gat_aggregate_parts(
             plan, h, score_flat, gather_dtype=h_gather_dtype
         )
         denom_task = score_flat.reshape(nt, b).sum(axis=1)
+        if f < 128:
+            # fold the denominator into the numerator's segment_sum as an
+            # extra lane: at f+1 <= 128 the [nt, f] sum already pads to
+            # 128 lanes, so the extra column is free and the second
+            # ~0.5M-task segment_sum disappears.  At f >= 128 the concat
+            # would pad 129 -> 256 lanes and LOSE (measured, PERF_NOTES)
+            # — keep two sums there.
+            both = jax.ops.segment_sum(
+                jnp.concatenate([num_task, denom_task[:, None]], axis=1),
+                dst, num_segments=plan.num_nodes,
+                indices_are_sorted=plan.sorted_by_dst,
+            )
+            return both[:, :f], both[:, f], score_flat.reshape(nt, b)
         num = jax.ops.segment_sum(
             num_task, dst, num_segments=plan.num_nodes,
             indices_are_sorted=plan.sorted_by_dst,

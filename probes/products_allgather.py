@@ -51,12 +51,24 @@ def main():
     )
 
     d = 8
-    g = build_graph(PRODUCTS_N, PRODUCTS_M, kind="rmat")
+    g0 = build_graph(PRODUCTS_N, PRODUCTS_M, kind="rmat")
     t0 = time.time()
-    # denser than the single-chip r1024/t384 default: per-owner plans
-    # shrink 8x, so threshold can drop (more MXU coverage, less residual)
+    # degree sort + round-robin DEAL across the 8 owner shards: a plain
+    # degree sort puts all hubs in owner 0, and _bucket_tiles_by_owner
+    # pads every owner to the hub owner's tile count (measured host OOM
+    # at 130 GB).  Dealing balances per-owner tile mass ~exactly.
+    from gnn_computing_tpu.graph.reorder import deal_shards, degree_sort
+
+    g = g0.reorder(deal_shards(degree_sort(g0), d))
+    del g0
+    log(f"degree+deal reorder: {time.time() - t0:.0f}s")
+    t0 = time.time()
+    # r512/t48: denser than ANY single-chip-fitting geometry (coverage
+    # 71.8% vs 52-65%; probes/products_plan_curve.py) — per-chip SMEM and
+    # HBM budgets relax 8x under per-owner sharding (A 19.5 GiB int8
+    # pre-bit-split => ~1.5 GiB/chip after, ~40k tiles/owner)
     plan, gp = build_allgather_hybrid(
-        g, d, tile_rows=1024, tile_cols=128, threshold=192,
+        g, d, tile_rows=512, tile_cols=128, threshold=48,
         residual_block=4, pack=4,
     )
     build_s = time.time() - t0
