@@ -44,7 +44,7 @@ def reddit_entries(args):
     n, m = B.REDDIT_N, B.REDDIT_M
     g = B.build_graph(n, m, kind="rmat")
     plan = B.build_hybrid(
-        g, n, m, 24, 512, 4, tile_dtype="int8", pack=16,
+        (lambda: g), n, m, 24, 512, 4, tile_dtype="int8", pack=16,
         reorder="degree", graph_kind="rmat",
     ).device_put()
     h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)

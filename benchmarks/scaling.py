@@ -43,11 +43,67 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 16)
     ap.add_argument("--m", type=int, default=1 << 22)
     ap.add_argument("--threshold", type=int, default=24)
+    ap.add_argument(
+        "--allgather", action="store_true",
+        help="sweep the DEFAULT distribution (parallel/allgather_tiles, "
+        "full single-chip kernel reuse behind one collective) instead of "
+        "the capacity-fallback ring; pair with --n 169343 --m 1166243 "
+        "for the arxiv-scale plumbing curve",
+    )
     args = ap.parse_args()
 
     ndev = len(jax.devices())
     platform = jax.devices()[0].platform
     g = rmat_graph(args.n, args.m, seed=123, with_val=False)
+
+    if args.allgather:
+        from gnn_computing_tpu.parallel.allgather_tiles import (
+            allgather_hybrid_spmm,
+            build_allgather_hybrid,
+        )
+
+        base_rate = None
+        d = 1
+        while d <= ndev:
+            mesh = make_mesh(num_graph=d)
+            plan, gp = build_allgather_hybrid(
+                g, d, tile_rows=256, tile_cols=128,
+                threshold=max(args.threshold // 2, 4), residual_block=4,
+                pack=8,
+            )
+            plan = plan.device_put(shard_ring_plan(mesh))
+            h = jax.device_put(
+                jnp.asarray(
+                    normal_features(
+                        gp.num_nodes, args.feature_len, seed=1
+                    ) * 0.1
+                ),
+                shard_rows(mesh),
+            )
+            r = benchmark_chained(
+                lambda hh, p: allgather_hybrid_spmm(mesh, p, hh),
+                h, plan, iters=args.iters,
+            )
+            rate = g.num_edges / r.min_s
+            if base_rate is None:
+                base_rate = rate
+            common.emit(
+                "scaling",
+                dict(
+                    platform=platform,
+                    path="allgather",
+                    devices=d,
+                    seconds=r.min_s,
+                    edges_per_s=rate,
+                    scaling_efficiency=rate / (base_rate * d),
+                    n=g.num_nodes,
+                    m=g.num_edges,
+                    representative=platform == "tpu",
+                ),
+                args,
+            )
+            d *= 2
+        return
 
     base_rate = None
     d = 1

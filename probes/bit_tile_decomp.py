@@ -21,7 +21,7 @@ h = jnp.asarray(normal_features(n, f, seed=123) * 0.1)
 
 for bit in (True, False):
     agg = B.build_hybrid(
-        g, n, m, 24, 512, 4, tile_dtype="int8", pack=16,
+        (lambda: g), n, m, 24, 512, 4, tile_dtype="int8", pack=16,
         reorder="degree", graph_kind="rmat", bit_tiles=bit,
     ).device_put()
     parts = agg.tile_parts()

@@ -15,7 +15,7 @@ from gnn_computing_tpu.utils.timing import benchmark_chained
 n, m = B.REDDIT_N, B.REDDIT_M
 g = B.build_graph(n, m, kind="rmat")
 agg = B.build_hybrid(
-    g, n, m, 24, 512, 4, tile_dtype="int8", pack=16,
+    (lambda: g), n, m, 24, 512, 4, tile_dtype="int8", pack=16,
     reorder="degree", graph_kind="rmat", bit_tiles=True,
 ).device_put()
 bitp = agg.tile_bits

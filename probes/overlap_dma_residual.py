@@ -326,7 +326,7 @@ def main():
         (1 << 16, 1 << 22) if args.small else (B.REDDIT_N, B.REDDIT_M)
     )
     g = B.build_graph(n, m, kind="rmat")
-    agg = B.build_hybrid(g, n, m, 24, 256, 4, tile_dtype="int8", pack=16)
+    agg = B.build_hybrid((lambda: g), n, m, 24, 256, 4, tile_dtype="int8", pack=16)
     plan = agg.plan
     nt_p, blk = plan.src.shape
     f = args.f
