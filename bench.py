@@ -90,12 +90,17 @@ def _cache_dir():
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache (round-2 postmortem: the reddit
-    hybrid forward takes 2-11 min to compile through the axon tunnel and
-    the driver's capture budget is shorter than that — the compile must be
-    paid once per plan shape, during the build session, and *loaded* by
-    every later timed process).  Safe on the axon backend (verified: cache
-    entries are written and re-loaded across processes)."""
+    """Persistent XLA compilation cache.
+
+    MEASURED REALITY on the axon backend (2026-08-20): entries are
+    written and cross-process cache HITS happen, but the tunnel's remote
+    server re-does the expensive part of compilation at load, so the
+    saving is partial (quick-scale first call 245.8s cold -> 77.2s warm)
+    and run-to-run remote variance can swamp it (reddit first call
+    measured 388.5s then 885.7s on identical code).  Kept because the
+    local-compile saving is real and free; the structural fix for the
+    driver budget is benchmark_chained's single-compile dynamic chain
+    (utils/timing.py)."""
     import jax
 
     jax.config.update(

@@ -93,26 +93,33 @@ def benchmark_chained(
     import jax.numpy as jnp
     from jax import lax
 
-    def chained_factory(n):
-        @jax.jit
-        def chained(*a):
-            def body(i, first):
-                out = fn(first, *a[1:])
-                fb = (out.astype(jnp.float32).ravel()[0] * 1e-30).astype(
-                    first.dtype
-                )
-                return first + fb
+    # ONE jitted program with the chain length as a TRACED scalar: the
+    # (iters) and (2*iters) chains share the executable, so the expensive
+    # compile is paid once, not twice (the remote axon compile of a
+    # reddit-scale forward is 2-11 min; two static chains doubled it —
+    # measured first-call 388-886 s, the driver-budget killer).  A dynamic
+    # trip count lowers to a while loop, which XLA cannot unroll or hoist
+    # a loop-CARRIED body out of — the anti-hoisting construction is
+    # unchanged.
+    @jax.jit
+    def chained(n, *a):
+        def body(i, first):
+            out = fn(first, *a[1:])
+            fb = (out.astype(jnp.float32).ravel()[0] * 1e-30).astype(
+                first.dtype
+            )
+            return first + fb
 
-            return lax.fori_loop(0, n, body, a[0]).ravel()[0]
+        return lax.fori_loop(0, n, body, a[0]).ravel()[0]
 
-        return chained
-
-    c1 = chained_factory(iters)
-    c2 = chained_factory(2 * iters)
+    n1 = jnp.asarray(iters, jnp.int32)
+    n2 = jnp.asarray(2 * iters, jnp.int32)
+    c1 = lambda *a: chained(n1, *a)
+    c2 = lambda *a: chained(n2, *a)
     t0 = time.perf_counter()
     float(c1(*args))
-    float(c2(*args))
     compile_s = time.perf_counter() - t0
+    float(c2(*args))  # warm the n2 path (same executable, no compile)
     # Difference min-of-reps, not per-rep pairs: per-rep slopes go negative
     # when dispatch jitter exceeds the (small-problem) loop-body time.
     t1s, t2s = [], []
