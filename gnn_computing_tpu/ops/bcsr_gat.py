@@ -94,9 +94,11 @@ def gat_bcsr_xla(
     t = tp.a.shape[0]
     chunk = min(chunk, max(t, 1))
     t_pad = -(-t // chunk) * chunk
+    # keep A in its storage dtype (int8/uint8) through the scan xs and
+    # convert PER CHUNK inside the body: a whole-array astype here gets
+    # materialized by XLA (124k r512 tiles -> a 32.6 GB f32 temp, measured
+    # OOM in the GAT training backward, which ADs through this function)
     a = jnp.asarray(tp.a)
-    if not tp.bits:
-        a = a.astype(jnp.float32)
     col = jnp.asarray(tp.tile_col)
     row = jnp.asarray(tp.tile_row)
     if t_pad != t:
@@ -116,6 +118,8 @@ def gat_bcsr_xla(
             a_c = jnp.concatenate(
                 [(w >> b) & 1 for b in range(8)], axis=1
             ).astype(jnp.float32)
+        else:
+            a_c = a_c.astype(jnp.float32)
         ad_c = jnp.take(ad, row_c, axis=0)  # [chunk, tr]
         as_c = jnp.take(asrc, col_c, axis=0)  # [chunk, tc]
         pos = (ad_c[:, :, None] + as_c[:, None, :]) > 0
@@ -144,7 +148,15 @@ def gat_bcsr_xla(
 
     out_t = match_varying(jnp.zeros((nrt, tr, f), jnp.float32), h)
     den_t = match_varying(jnp.zeros((nrt, tr), jnp.float32), h)
-    (out_t, den_t), _ = lax.scan(body, (out_t, den_t), (a, col, row))
+    # checkpoint per step: AD through the scan otherwise SAVES the
+    # per-step [chunk, tr, tc] f32 branch tiles (a1/a2) for every one of
+    # the ~500 steps (~16 GB at reddit r512) — the GAT training backward
+    # differentiates through this function (bcsr_gat._hybrid_gat_bwd).
+    # Rematerializing trades one extra forward pass per step for O(step)
+    # memory; pure forward calls are unaffected (no tangents, no remat).
+    (out_t, den_t), _ = lax.scan(
+        jax.checkpoint(body), (out_t, den_t), (a, col, row)
+    )
     return (
         out_t.reshape(nrt * tr, f)[: tp.num_nodes],
         den_t.reshape(nrt * tr)[: tp.num_nodes],
