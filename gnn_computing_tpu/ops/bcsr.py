@@ -156,6 +156,17 @@ def bcsr_spmm(
 
 
 def bcsr_rowmax(tp: TilePlan, col_vals: jnp.ndarray, chunk: int = 256):
+    from gnn_computing_tpu.ops import pallas_bcsr
+
+    if pallas_bcsr.supported_rowmax(tp):
+        # the XLA scan below duplicates A in HBM (pad temp + scan-xs
+        # layout copy — measured OOM at reddit r512 in the stabilized
+        # GAT train step); the kernel streams A with zero extra HBM
+        return pallas_bcsr.rowmax_bcsr_pallas(tp, col_vals)
+    return _bcsr_rowmax_xla(tp, col_vals, chunk)
+
+
+def _bcsr_rowmax_xla(tp: TilePlan, col_vals: jnp.ndarray, chunk: int = 256):
     """Per-destination-row max of ``col_vals[src]`` over the plan's dense
     edges: out[i] = max over tile cells (i, j) with count > 0 of
     col_vals[j]; -inf where the tiles give row i no edge.  Feeds the GAT

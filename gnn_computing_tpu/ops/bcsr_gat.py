@@ -245,8 +245,17 @@ def _hybrid_gat_impl(
     tp, plan, h, att, relu_slope, strategy,
     att_gather_dtype=None, h_gather_dtype=None, stabilize=False,
 ):
+    # stop_gradient: the shift cancels exactly in num/den (softmax shift
+    # invariance), so its true gradient contribution is zero — and without
+    # this, AD would traverse bcsr_rowmax's scan over the full tile array
+    # (a second multi-GB A traversal in the backward, plus max
+    # subgradient noise).
     row_shift = (
-        _hybrid_row_shift(tp, plan, att, relu_slope) if stabilize else None
+        jax.lax.stop_gradient(
+            _hybrid_row_shift(tp, plan, att, relu_slope)
+        )
+        if stabilize
+        else None
     )
     num, den = gat_bcsr(
         tp, h, att, relu_slope, strategy, row_shift=row_shift

@@ -131,6 +131,18 @@ def preferred(tp: TilePlan, h) -> bool:
     return supported(tp, h)
 
 
+def supported_rowmax(tp: TilePlan) -> bool:
+    """rowmax_bcsr_pallas applicability: the tp-side conditions of
+    supported() (its operand is a 1-D col_vals, not an [n, f] h)."""
+    return (
+        _tpu_available()
+        and tp.tile_rows % 8 == 0
+        and tp.tile_cols % 128 == 0
+        and tp.a.shape[0] <= SMEM_TILE_LIMIT
+        and (not tp.bits or tp.tile_rows >= 256)
+    )
+
+
 def detect_pack(tile_row, candidates=(8, 4, 2)) -> int:
     """Largest K for which every tile-row run's length is a multiple of K
     (i.e. the plan went through TilePlan.pad_runs(K)); 1 otherwise."""
@@ -691,3 +703,97 @@ def gat_bcsr_pallas(
         *([hv1] * K), *([hv2] * K),
     )
     return num[: tp.num_nodes], den[: tp.num_nodes, 0]
+
+
+def rowmax_bcsr_pallas(
+    tp: TilePlan,
+    col_vals: jnp.ndarray,
+    pack: int = None,
+):
+    """Per-destination-row max of ``col_vals`` over tile cells with
+    count > 0 (-inf for rows the tiles give no edge): the GAT softmax
+    stabilizer's dense part (ops.bcsr.bcsr_rowmax), as a Pallas kernel.
+
+    Exists because the XLA-scan formulation duplicates A in HBM (a pad
+    temp + a scan-xs layout copy, 2x 7.6 GB at reddit r512 — measured
+    OOM in the stabilized GAT training step); this kernel streams the
+    SAME A blocks as the aggregation kernels with zero extra HBM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tr, tc = tp.tile_rows, tp.tile_cols
+    nct, nrt = tp.num_col_tiles, tp.num_row_tiles
+
+    v = col_vals.astype(jnp.float32)
+    if v.shape[0] != nct * tc:
+        v = jnp.pad(
+            v, (0, nct * tc - v.shape[0]), constant_values=-jnp.inf
+        )
+    vb = v.reshape(nct, 1, tc)
+
+    a = jnp.asarray(tp.a)
+    num_t = a.shape[0]
+    c_bits = max(int(nct - 1).bit_length(), 1)
+    cmod = 1 << c_bits
+    rc = jnp.asarray(tp.tile_row) * cmod + jnp.asarray(tp.tile_col)
+
+    K = pack if pack is not None else (getattr(tp, "pack", 1) or 1)
+    assert num_t % K == 0
+    steps = num_t // K
+
+    def bounds(rc_ref, i):
+        first = (i == 0) | (
+            rc_ref[K * i] // cmod
+            != rc_ref[jnp.maximum(K * i - 1, 0)] // cmod
+        )
+        last = (i == steps - 1) | (
+            rc_ref[K * i + K - 1] // cmod
+            != rc_ref[jnp.minimum(K * i + K, num_t - 1)] // cmod
+        )
+        return first, last
+
+    a_rows = tr // 8 if tp.bits else tr
+    a_spec = pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
+    rowb = lambda i, rc: (rc[K * i] // cmod, 0)
+
+    def col_spec(k):
+        return pl.BlockSpec(
+            (1, 1, tc), lambda i, rc: (rc[K * i + k] % cmod, 0, 0)
+        )
+
+    def kernel(rc_ref, a_ref, *refs):
+        v_refs = refs[:K]
+        out_ref, acc_ref = refs[K:]
+        i = pl.program_id(0)
+        first, last = bounds(rc_ref, i)
+
+        @pl.when(first)
+        def _init():
+            acc_ref[...] = jnp.full_like(acc_ref, -jnp.inf)
+
+        acc = acc_ref[...]
+        for k in range(K):
+            if tp.bits:
+                cnt = decode_bit_tile(a_ref[k], jnp.float32)
+            else:
+                cnt = a_ref[k].astype(jnp.float32)
+            masked = jnp.where(cnt > 0.0, v_refs[k][0], -jnp.inf)
+            acc = jnp.maximum(acc, masked.max(axis=1, keepdims=True))
+        acc_ref[...] = acc
+
+        @pl.when(last)
+        def _write():
+            out_ref[...] = acc_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[a_spec] + [col_spec(k) for k in range(K)],
+        out_specs=[pl.BlockSpec((tr, 1), rowb)],
+        scratch_shapes=[pltpu.VMEM((tr, 1), jnp.float32)],
+    )
+    (out,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[out_struct((nrt * tr, 1), jnp.float32, col_vals)],
+    )(rc, a, *([vb] * K))
+    return out[: tp.num_nodes, 0]
