@@ -311,14 +311,15 @@ def _hybrid_gat_bwd(
     # stop_gradient makes that explicit.
     tp, plan, h, att = res
 
+    # computed OUTSIDE the vjp trace: a stop_gradient on the OUTPUT would
+    # still evaluate the rowmax pallas_call on JVP tracers, which has no
+    # jvp rule (NotImplementedError); as a closed-over concrete array the
+    # shift is a true AD constant
+    shift = (
+        _hybrid_row_shift(tp, plan, att, relu_slope) if stabilize else None
+    )
+
     def f(hh, aa):
-        shift = (
-            jax.lax.stop_gradient(
-                _hybrid_row_shift(tp, plan, aa, relu_slope)
-            )
-            if stabilize
-            else None
-        )
         num, den = gat_bcsr(
             tp, hh, aa, relu_slope, "xla", row_shift=shift
         )
