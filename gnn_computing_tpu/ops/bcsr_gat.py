@@ -93,26 +93,22 @@ def gat_bcsr_xla(
 
     t = tp.a.shape[0]
     chunk = min(chunk, max(t, 1))
-    t_pad = -(-t // chunk) * chunk
-    # keep A in its storage dtype (int8/uint8) through the scan xs and
-    # convert PER CHUNK inside the body: a whole-array astype here gets
-    # materialized by XLA (124k r512 tiles -> a 32.6 GB f32 temp, measured
-    # OOM in the GAT training backward, which ADs through this function)
+    # A stays IN PLACE in its storage dtype: the scan dynamic-slices
+    # chunks out of the original buffer and converts per chunk.  Earlier
+    # forms materialized multi-GB A temps at reddit r512 (measured OOMs
+    # in the GAT training backward, which ADs through this function):
+    # a whole-array astype (32.6 GB f32), then — with A as scan xs — a
+    # pad-to-chunk-multiple temp plus XLA's scan-xs layout copy (2x
+    # 7.6 GB int8).
     a = jnp.asarray(tp.a)
     col = jnp.asarray(tp.tile_col)
     row = jnp.asarray(tp.tile_row)
-    if t_pad != t:
-        a = jnp.pad(a, ((0, t_pad - t), (0, 0), (0, 0)))
-        col = jnp.pad(col, (0, t_pad - t))
-        row = jnp.pad(row, (0, t_pad - t))
     a_rows = tr // 8 if tp.bits else tr
-    a = a.reshape(t_pad // chunk, chunk, a_rows, tc)
-    col = col.reshape(t_pad // chunk, chunk)
-    row = row.reshape(t_pad // chunk, chunk)
+    nfull = t // chunk
+    rem = t - nfull * chunk
 
-    def body(acc, c):
+    def chunk_contrib(acc, a_c, col_c, row_c):
         out_t, den_t = acc
-        a_c, col_c, row_c = c
         if tp.bits:  # plane-major bit unpack (tiles.pack_bit_tiles)
             w = a_c.astype(jnp.int32)
             a_c = jnp.concatenate(
@@ -142,7 +138,14 @@ def gat_bcsr_xla(
         p = u1_c * p1 + u2_c * p2  # [chunk, tr, f+1]
         out_t = out_t.at[row_c].add(p[:, :, :f])
         den_t = den_t.at[row_c].add(p[:, :, f])
-        return (out_t, den_t), None
+        return (out_t, den_t)
+
+    def body(acc, c):
+        start, col_c, row_c = c
+        a_c = lax.dynamic_slice(
+            a, (start, 0, 0), (chunk, a_rows, tc)
+        )
+        return chunk_contrib(acc, a_c, col_c, row_c), None
 
     from gnn_computing_tpu.ops.spmm import match_varying
 
@@ -150,13 +153,27 @@ def gat_bcsr_xla(
     den_t = match_varying(jnp.zeros((nrt, tr), jnp.float32), h)
     # checkpoint per step: AD through the scan otherwise SAVES the
     # per-step [chunk, tr, tc] f32 branch tiles (a1/a2) for every one of
-    # the ~500 steps (~16 GB at reddit r512) — the GAT training backward
-    # differentiates through this function (bcsr_gat._hybrid_gat_bwd).
-    # Rematerializing trades one extra forward pass per step for O(step)
-    # memory; pure forward calls are unaffected (no tangents, no remat).
-    (out_t, den_t), _ = lax.scan(
-        jax.checkpoint(body), (out_t, den_t), (a, col, row)
-    )
+    # the ~500 steps (~16 GB at reddit r512).  Rematerializing trades one
+    # extra forward pass per step for O(step) memory; pure forward calls
+    # are unaffected (no tangents, no remat).
+    if nfull:
+        starts = jnp.arange(nfull, dtype=jnp.int32) * chunk
+        (out_t, den_t), _ = lax.scan(
+            jax.checkpoint(body),
+            (out_t, den_t),
+            (
+                starts,
+                col[: nfull * chunk].reshape(nfull, chunk),
+                row[: nfull * chunk].reshape(nfull, chunk),
+            ),
+        )
+    if rem:  # static remainder tail — no padding of the big array
+        out_t, den_t = chunk_contrib(
+            (out_t, den_t),
+            a[nfull * chunk :],
+            col[nfull * chunk :],
+            row[nfull * chunk :],
+        )
     return (
         out_t.reshape(nrt * tr, f)[: tp.num_nodes],
         den_t.reshape(nrt * tr)[: tp.num_nodes],
