@@ -591,9 +591,10 @@ def run_train(args, g, n, m):
     released benchmarks are forward-only).
 
     GCN backward aggregates the cotangent over pre-built transposed
-    plans (hybrid_spmm custom VJP); GAT backward re-derives the VJP
-    through the XLA tile formulation (bcsr_gat._hybrid_gat_bwd) — no
-    transposed plans needed."""
+    plans (hybrid_spmm custom VJP); GAT backward STREAMS the tile
+    gradients over the forward + transposed plans with the hand-derived
+    VJP kernels (bcsr_gat gat_bwd_* — the AD-through-scan form OOM'd at
+    reddit scale, VERDICT r3 #1)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -614,7 +615,7 @@ def run_train(args, g, n, m):
     )
     # build-phase fast path: when every cache file already exists, an
     # exists-check is the whole job (never load GBs to prove it)
-    need_t = args.model == "gcn" and not transpose_cached(tag)
+    need_t = not transpose_cached(tag)
     sched = build_hybrid(
         g, n, m, args.threshold, args.tile_rows, args.residual_block,
         tile_dtype=args.tile_dtype, pack=args.pack,
@@ -622,7 +623,7 @@ def run_train(args, g, n, m):
         bit_tiles=args.bit_tiles,
         check_only=(args.phase == "build" and not need_t),
     )
-    if args.model == "gcn" and (args.phase != "build" or need_t):
+    if args.phase != "build" or need_t:
         log("building transposed plans for backward...")
         t0 = time.time()
         sched = add_transpose(sched, args.pack, cache_tag=tag)
@@ -825,9 +826,85 @@ def main():
         if rc:
             sys.exit(rc)
         log("[bench] phase 2/2: timing from cached plans (fresh process)")
-        sys.exit(subprocess.call(
-            [sys.executable, script, *argv, "--phase", "timed"]
-        ))
+
+        def run_timed(extra, budget_s, degraded):
+            """Run the timed child, relaying stdout; kill (exact PID) if
+            no JSON metric line appears within ``budget_s``.  Returns
+            True once a metric line was emitted.  The remote axon compile
+            is wildly variable (388-1505 s measured on identical code,
+            PERF_NOTES round 3) — the capture must not depend on the
+            remote compiler's mood, so a blown budget drops to --quick
+            scale with an explicit "degraded": true flag."""
+            import select
+
+            p = subprocess.Popen(
+                [sys.executable, script, *argv, *extra, "--phase", "timed"],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            got = False
+            deadline = time.time() + budget_s
+            try:
+                while True:
+                    timeout = deadline - time.time()
+                    if not got and timeout <= 0:
+                        log(
+                            f"[bench] BUDGET EXCEEDED ({budget_s:.0f}s, "
+                            "no metric line) — killing timed child"
+                        )
+                        p.kill()
+                        p.wait()
+                        return False
+                    r, _, _ = select.select(
+                        [p.stdout], [], [], max(timeout, 1.0) if not got else 60.0
+                    )
+                    if r:
+                        line = p.stdout.readline()
+                        if not line:
+                            break  # EOF: child done
+                        line = line.rstrip("\n")
+                        if line.startswith("{"):
+                            if degraded:
+                                rec = json.loads(line)
+                                rec["degraded"] = True
+                                line = json.dumps(rec)
+                            print(line, flush=True)
+                            got = True
+                        else:
+                            log(line)
+                    elif got:
+                        continue
+            finally:
+                if p.poll() is None:
+                    p.wait()
+            return got
+
+        budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+        if run_timed([], budget, degraded=False):
+            sys.exit(0)
+        if args.quick:
+            sys.exit(3)  # already at quick scale; nothing to degrade to
+        # mid-compile kills can wedge the axon tunnel for a while
+        # (verify-skill notes); give it a settle window, then run the
+        # much-cheaper quick-scale program (often already compile-cached)
+        log("[bench] degrading to --quick scale")
+        time.sleep(30)
+        rc_q = subprocess.call(
+            [sys.executable, script, *argv, "--quick", "--phase", "build"],
+            env=env_build,
+            stdout=sys.stderr,
+        )
+        if rc_q:
+            sys.exit(rc_q)
+        sys.exit(
+            0
+            if run_timed(
+                ["--quick"],
+                float(os.environ.get("BENCH_QUICK_BUDGET_S", "600")),
+                degraded=True,
+            )
+            else 3
+        )
 
     if args.phase == "timed":
         # persistent XLA executable cache: the reddit hybrid compile
@@ -868,15 +945,13 @@ def main():
     if args.train:
         assert args.model in ("gcn", "gat") and args.strategy == "hybrid"
         # per-model plan defaults resolved below are needed here too.
-        # tile-rows 256, NOT the forward-only 512 default: GCN training
-        # holds BOTH the forward and transposed tile plans (A is 7.9 GB
-        # each at r512 -> "Used 19.80G of 15.75G hbm"; r256 is 5+5 GB and
-        # fits).  GAT backward re-derives the VJP (no transposed tiles),
-        # so it keeps the forward-best r512.
+        # tile-rows 256, NOT the forward-only 512 default: training holds
+        # BOTH the forward and transposed tile plans (A is 7.9 GB each at
+        # r512 -> "Used 19.80G of 15.75G hbm"; r256 is 5+5 GB and fits).
         if args.threshold is None:
             args.threshold = 24
         if args.tile_rows is None:
-            args.tile_rows = 256 if args.model == "gcn" else 512
+            args.tile_rows = 256
         if args.residual_block is None:
             args.residual_block = 4
         if args.pack is None:
@@ -935,14 +1010,78 @@ def main():
     if args.model == "sddmm":
         # North-star "SDDMM edges/s/chip on reddit": per-edge feature dots
         # val[e] = <a[src_e], b[dst_e]> (aggr_sddmm.h:5-43 semantics) at
-        # the reference's kernel-figure feature length 32, slot-layout
-        # output over ALL edges.  vs_baseline uses the V100 per-pass SpMM
-        # anchor as proxy (the reference publishes no standalone SDDMM
-        # number; its SDDMM shares the SpMM's per-edge traffic shape).
+        # the reference's kernel-figure feature length 32, over ALL edges.
+        # Default strategy 'hybrid' (ops/bcsr_sddmm.py): dense-tile edges
+        # get their dot from ONE MXU dot per tile (cell-value output
+        # layout, bf16), residual edges through the chunked slot gather —
+        # same schedule split as every other op (aggr_sddmm.h runs SDDMM
+        # through the shared schedule).  'gather' keeps the old all-edge
+        # slot form.  vs_baseline uses the V100 per-pass SpMM anchor as
+        # proxy (the reference publishes no standalone SDDMM number).
         from gnn_computing_tpu.ops.spmm import sddmm_slots_chunked
         from gnn_computing_tpu.utils.timing import benchmark_chained
 
         f = 32
+        gdt = "f16_split2" if args.layer_config == "fast" else None
+        if args.strategy == "hybrid":
+            # r256, NOT the forward-default r512: the per-cell output is
+            # tiles x tr x tc x 2B — 15.7 GB at r512 vs 10 GB at r256.
+            # bit_tiles on: A drops 5.1 -> ~1.8 GB, so cells + A + inputs
+            # fit the 15.75 GB HBM.
+            if args.tile_rows in (None, 512):
+                args.tile_rows = 256
+            if args.threshold is None:
+                args.threshold = 24
+            if args.residual_block is None:
+                args.residual_block = 4
+            if args.pack is None:
+                args.pack = 16
+            sched = build_hybrid(
+                g, n, m, args.threshold, args.tile_rows,
+                args.residual_block, tile_dtype="int8", pack=args.pack,
+                reorder=args.reorder, graph_kind=args.graph,
+                bit_tiles=True, check_only=(args.phase == "build"),
+            )
+            if args.phase == "build":
+                log("[bench] build phase done (hybrid plan cached)")
+                return
+            sched = sched.device_put()
+            from gnn_computing_tpu.ops.bcsr_sddmm import hybrid_sddmm
+
+            a = jnp.asarray(normal_features(n, f, seed=3) * 0.1)
+            b = jnp.asarray(normal_features(n, f, seed=4) * 0.1)
+
+            def run(aa, s, bb):
+                cells, res = hybrid_sddmm(
+                    s.tile_parts(), s.plan if s.plan.num_edges else None,
+                    aa, bb, gather_dtype=gdt,
+                )
+                # fold one element of every output into the chained
+                # harness's carry so each part stays live (a full-array
+                # reduce would cost a second 10 GB read pass)
+                probe = sum(c.ravel()[:1].astype(jnp.float32) for c in cells)
+                if res is not None:
+                    probe = probe + res.ravel()[:1].astype(jnp.float32)
+                return probe
+
+            log("compiling + warmup...")
+            em = Emitter(
+                f"sddmm_{args.scale_label}_scale_edges_per_s_per_chip",
+                baselines["sddmm"], lambda t: m / t,
+                capture_extra={
+                    "model": "sddmm", "strategy": "hybrid",
+                    "tile_rows": args.tile_rows,
+                    "threshold": args.threshold,
+                },
+            )
+            r = benchmark_chained(
+                run, a, sched, b, iters=args.iters, reps=3,
+                on_rep=em.on_rep,
+            )
+            log(f"first call: {r.compile_s:.1f}s")
+            log(f"sddmm hybrid pass: {r.min_s * 1e3:.2f} ms")
+            em.finish()
+            return
         plan = build_gather(
             g, args.block_size, n, m, args.graph,
             check_only=(args.phase == "build"),
@@ -953,7 +1092,6 @@ def main():
         plan = plan.device_put()
         a = jnp.asarray(normal_features(n, f, seed=3) * 0.1)
         b = jnp.asarray(normal_features(n, f, seed=4) * 0.1)
-        gdt = "f16_split2" if args.layer_config == "fast" else None
         log("compiling + warmup...")
         # vs_baseline: the gcn baseline counts 3 passes' edges over the
         # full forward, which equals the V100 per-pass rate (transforms
@@ -961,6 +1099,7 @@ def main():
         em = Emitter(
             f"sddmm_{args.scale_label}_scale_edges_per_s_per_chip",
             baselines["sddmm"], lambda t: m / t,
+            capture_extra={"model": "sddmm", "strategy": "gather"},
         )
         # chunked: the split2 reconstruct materializes its chunk's gather
         # ([chunk*B, 2f]); unchunked at 118M slots is a 30 GB intermediate

@@ -294,6 +294,7 @@ class Aggregator:
                 att_gather_dtype=att_gather_dtype,
                 h_gather_dtype=h_gather_dtype,
                 stabilize=stabilize,
+                tp_t=self.tile_parts_t() or None,
             )
         return gat_mod.gat_aggregate(
             self.plan, h, att, relu_slope=relu_slope, stabilize=stabilize

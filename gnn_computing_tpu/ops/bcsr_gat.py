@@ -64,6 +64,218 @@ def _pad_to(x: jnp.ndarray, size: int):
     return jnp.pad(x, pad)
 
 
+def _branch_factors(att, slope: float, row_shift=None):
+    """([n, 2] dst-branch exponentials u, [n, 2] src-branch v)."""
+    u1, u2, v1, v2 = _node_factors(att, slope, row_shift)
+    return jnp.stack([u1, u2], axis=1), jnp.stack([v1, v2], axis=1)
+
+
+# ------------------------------------------- streaming backward (XLA forms)
+#
+# Derivation (out_i = num_i / den_i, num_i = sum_j s_ij h_j,
+# den_i = sum_j s_ij, s_ij = cnt_ij exp(lrelu(ad_i + as_j) - M_i),
+# M stop-gradient).  With gbar_i = ct_i / den_i and
+# c_i = <ct_i, out_i> / den_i:
+#
+#   d s_ij  = <gbar_i, h_j> - c_i
+#   dh_j    = sum_i s_ij gbar_i                       (transposed SpMM)
+#   d ad_i  = sum_j lrelu'(z_ij) s_ij (<gbar_i, h_j> - c_i)   (row sums)
+#   d as_j  = sum_i lrelu'(z_ij) s_ij (<gbar_i, h_j> - c_i)   (col sums)
+#
+# On the maxdot factorization s = cnt * max(u1 v1, u2 v2) the branch test
+# z > 0 is equivalent to u1 v1 >= u2 v2 (slope < 1), so the kernels need
+# only the four per-node exponentials.  Row-side outputs (d_ad) stream
+# the FORWARD plan; col-side outputs (dh, d_as) stream the TRANSPOSED
+# plan — each output accumulates across its row runs exactly like the
+# forward kernels, so the backward's working set is one tile pass (the
+# reference hand-writes the same split: d_feat scatter + per-edge d_att,
+# aggr_gat.h:222-294).  AD-through-scan, by contrast, saved the per-step
+# [chunk, tr, tc] branch tiles and OOM'd at reddit scale (VERDICT r3 #1).
+
+
+def gat_bwd_dad_xla(
+    tp: TilePlan, h, gbar, c, u12, v12, relu_slope: float, chunk: int = 256
+):
+    """d_att_dst over the forward tile plan (portable scan form)."""
+    tr, tc = tp.tile_rows, tp.tile_cols
+    nct, nrt = tp.num_col_tiles, tp.num_row_tiles
+    u12p = _pad_to(u12.astype(jnp.float32), nrt * tr).reshape(nrt, tr, 2)
+    cp = _pad_to(c.astype(jnp.float32), nrt * tr).reshape(nrt, tr)
+    gb = _pad_to(gbar.astype(jnp.float32), nrt * tr).reshape(
+        nrt, tr, -1
+    )
+    v12p = _pad_to(v12.astype(jnp.float32), nct * tc).reshape(nct, tc, 2)
+    hp = _pad_to(h.astype(jnp.float32), nct * tc).reshape(nct, tc, -1)
+
+    a = jnp.asarray(tp.a)
+    col = jnp.asarray(tp.tile_col)
+    row = jnp.asarray(tp.tile_row)
+    t = a.shape[0]
+    chunk = min(chunk, max(t, 1))
+    a_rows = tr // 8 if tp.bits else tr
+    nfull = t // chunk
+    rem = t - nfull * chunk
+
+    def chunk_contrib(acc, a_c, col_c, row_c):
+        if tp.bits:
+            w = a_c.astype(jnp.int32)
+            a_c = jnp.concatenate(
+                [(w >> b) & 1 for b in range(8)], axis=1
+            ).astype(jnp.float32)
+        else:
+            a_c = a_c.astype(jnp.float32)
+        u = jnp.take(u12p, row_c, axis=0)  # [ch, tr, 2]
+        v = jnp.take(v12p, col_c, axis=0)  # [ch, tc, 2]
+        b1 = u[:, :, None, 0] * v[:, None, :, 0]
+        b2 = u[:, :, None, 1] * v[:, None, :, 1]
+        # mask BEFORE the multiply: for cnt == 0 cells the branch
+        # exponentials are unbounded (z of a NON-edge can exceed the
+        # per-destination max M by any amount at wide logits), and
+        # 0 * inf = NaN; real cells have z <= M, so b <= 1 there
+        s = jnp.where(a_c > 0, a_c * jnp.maximum(b1, b2), 0.0)
+        lp = jnp.where(b1 >= b2, 1.0, relu_slope)
+        p = jnp.einsum(
+            "tif,tjf->tij",
+            jnp.take(gb, row_c, axis=0),
+            jnp.take(hp, col_c, axis=0),
+            precision=lax.Precision.HIGHEST,
+        )
+        tt = lp * s * (p - jnp.take(cp, row_c, axis=0)[:, :, None])
+        return acc.at[row_c].add(tt.sum(axis=2))
+
+    def body(acc, cargs):
+        return chunk_contrib(acc, *cargs), None
+
+    from gnn_computing_tpu.ops.spmm import match_varying
+
+    acc = match_varying(jnp.zeros((nrt, tr), jnp.float32), h)
+    if nfull:
+        acc, _ = lax.scan(
+            body,
+            acc,
+            (
+                a[: nfull * chunk].reshape(nfull, chunk, a_rows, tc),
+                col[: nfull * chunk].reshape(nfull, chunk),
+                row[: nfull * chunk].reshape(nfull, chunk),
+            ),
+        )
+    if rem:
+        acc = chunk_contrib(
+            acc, a[nfull * chunk :], col[nfull * chunk :],
+            row[nfull * chunk :],
+        )
+    return acc.reshape(nrt * tr)[: tp.num_nodes]
+
+
+def gat_bwd_dh_das_xla(
+    tp_t: TilePlan, h, gbar, c, u12, v12, relu_slope: float,
+    chunk: int = 256,
+):
+    """(dh, d_att_src) over the TRANSPOSED tile plan (portable scan)."""
+    tr, tc = tp_t.tile_rows, tp_t.tile_cols
+    nct, nrt = tp_t.num_col_tiles, tp_t.num_row_tiles
+    f = h.shape[-1]
+    v12p = _pad_to(v12.astype(jnp.float32), nrt * tr).reshape(nrt, tr, 2)
+    hp = _pad_to(h.astype(jnp.float32), nrt * tr).reshape(nrt, tr, f)
+    u12p = _pad_to(u12.astype(jnp.float32), nct * tc).reshape(nct, tc, 2)
+    cp = _pad_to(c.astype(jnp.float32), nct * tc).reshape(nct, tc)
+    gb = _pad_to(gbar.astype(jnp.float32), nct * tc).reshape(nct, tc, f)
+
+    a = jnp.asarray(tp_t.a)
+    col = jnp.asarray(tp_t.tile_col)
+    row = jnp.asarray(tp_t.tile_row)
+    t = a.shape[0]
+    chunk = min(chunk, max(t, 1))
+    a_rows = tr // 8 if tp_t.bits else tr
+    nfull = t // chunk
+    rem = t - nfull * chunk
+
+    def chunk_contrib(acc, a_c, col_c, row_c):
+        acch, accs = acc
+        if tp_t.bits:
+            w = a_c.astype(jnp.int32)
+            a_c = jnp.concatenate(
+                [(w >> b) & 1 for b in range(8)], axis=1
+            ).astype(jnp.float32)
+        else:
+            a_c = a_c.astype(jnp.float32)
+        v = jnp.take(v12p, row_c, axis=0)  # [ch, tr, 2]
+        u = jnp.take(u12p, col_c, axis=0)  # [ch, tc, 2]
+        b1 = v[:, :, None, 0] * u[:, None, :, 0]
+        b2 = v[:, :, None, 1] * u[:, None, :, 1]
+        # cnt mask before multiply — see gat_bwd_dad_xla (0 * inf = NaN)
+        s = jnp.where(a_c > 0, a_c * jnp.maximum(b1, b2), 0.0)
+        lp = jnp.where(b1 >= b2, 1.0, relu_slope)
+        gbc = jnp.take(gb, col_c, axis=0)  # [ch, tc, f]
+        acch = acch.at[row_c].add(
+            jnp.einsum(
+                "tij,tjf->tif", s, gbc,
+                precision=lax.Precision.HIGHEST,
+            )
+        )
+        p = jnp.einsum(
+            "tif,tjf->tij",
+            jnp.take(hp, row_c, axis=0),
+            gbc,
+            precision=lax.Precision.HIGHEST,
+        )
+        tt = lp * s * (p - jnp.take(cp, col_c, axis=0)[:, None, :])
+        accs = accs.at[row_c].add(tt.sum(axis=2))
+        return (acch, accs)
+
+    def body(acc, cargs):
+        return chunk_contrib(acc, *cargs), None
+
+    from gnn_computing_tpu.ops.spmm import match_varying
+
+    acc = (
+        match_varying(jnp.zeros((nrt, tr, f), jnp.float32), h),
+        match_varying(jnp.zeros((nrt, tr), jnp.float32), h),
+    )
+    if nfull:
+        acc, _ = lax.scan(
+            jax.checkpoint(body),
+            acc,
+            (
+                a[: nfull * chunk].reshape(nfull, chunk, a_rows, tc),
+                col[: nfull * chunk].reshape(nfull, chunk),
+                row[: nfull * chunk].reshape(nfull, chunk),
+            ),
+        )
+    if rem:
+        acc = chunk_contrib(
+            acc, a[nfull * chunk :], col[nfull * chunk :],
+            row[nfull * chunk :],
+        )
+    acch, accs = acc
+    return (
+        acch.reshape(nrt * tr, f)[: tp_t.num_nodes],
+        accs.reshape(nrt * tr)[: tp_t.num_nodes],
+    )
+
+
+def gat_bwd_dad(tp, h, gbar, c, u12, v12, relu_slope, strategy="auto"):
+    from gnn_computing_tpu.ops import pallas_bcsr
+
+    if strategy in ("auto", "pallas") and pallas_bcsr.supported(tp, h):
+        return pallas_bcsr.gat_bwd_dad_pallas(
+            tp, h, gbar, c, u12, v12, relu_slope
+        )
+    return gat_bwd_dad_xla(tp, h, gbar, c, u12, v12, relu_slope)
+
+
+def gat_bwd_dh_das(
+    tp_t, h, gbar, c, u12, v12, relu_slope, strategy="auto"
+):
+    from gnn_computing_tpu.ops import pallas_bcsr
+
+    if strategy in ("auto", "pallas") and pallas_bcsr.supported(tp_t, h):
+        return pallas_bcsr.gat_bwd_dh_das_pallas(
+            tp_t, h, gbar, c, u12, v12, relu_slope
+        )
+    return gat_bwd_dh_das_xla(tp_t, h, gbar, c, u12, v12, relu_slope)
+
+
 def gat_bcsr_xla(
     tp: TilePlan,
     h: jnp.ndarray,
@@ -261,19 +473,17 @@ def _hybrid_row_shift(tp, plan, att, relu_slope):
 def _hybrid_gat_impl(
     tp, plan, h, att, relu_slope, strategy,
     att_gather_dtype=None, h_gather_dtype=None, stabilize=False,
+    with_den=False, row_shift=None,
 ):
     # stop_gradient: the shift cancels exactly in num/den (softmax shift
     # invariance), so its true gradient contribution is zero — and without
     # this, AD would traverse bcsr_rowmax's scan over the full tile array
     # (a second multi-GB A traversal in the backward, plus max
     # subgradient noise).
-    row_shift = (
-        jax.lax.stop_gradient(
+    if stabilize and row_shift is None:
+        row_shift = jax.lax.stop_gradient(
             _hybrid_row_shift(tp, plan, att, relu_slope)
         )
-        if stabilize
-        else None
-    )
     num, den = gat_bcsr(
         tp, h, att, relu_slope, strategy, row_shift=row_shift
     )
@@ -287,12 +497,15 @@ def _hybrid_gat_impl(
         num = num + nr
         den = den + dr
     safe = jnp.where(den == 0.0, 1.0, den)
-    return (num / safe[:, None]).astype(h.dtype)
+    out = (num / safe[:, None]).astype(h.dtype)
+    if with_den:
+        return out, den
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _hybrid_gat(
-    tp, plan, h, att, relu_slope, strategy, att_gather_dtype,
+    tp, plan, tp_t, h, att, relu_slope, strategy, att_gather_dtype,
     h_gather_dtype, stabilize,
 ):
     return _hybrid_gat_impl(
@@ -302,55 +515,106 @@ def _hybrid_gat(
 
 
 def _hybrid_gat_fwd(
-    tp, plan, h, att, relu_slope, strategy, att_gather_dtype,
+    tp, plan, tp_t, h, att, relu_slope, strategy, att_gather_dtype,
     h_gather_dtype, stabilize,
 ):
-    return _hybrid_gat_impl(
-        tp, plan, h, att, relu_slope, strategy,
-        att_gather_dtype, h_gather_dtype, stabilize,
-    ), (
-        tp,
-        plan,
-        h,
-        att,
+    # shift computed HERE and saved: the backward reuses it instead of
+    # re-streaming the whole A array through the rowmax kernel
+    shift = (
+        jax.lax.stop_gradient(
+            _hybrid_row_shift(tp, plan, att, relu_slope)
+        )
+        if stabilize
+        else None
     )
+    out, den = _hybrid_gat_impl(
+        tp, plan, h, att, relu_slope, strategy,
+        att_gather_dtype, h_gather_dtype, stabilize, with_den=True,
+        row_shift=shift,
+    )
+    return out, (tp, plan, tp_t, h, att, out, den, shift)
 
 
 def _hybrid_gat_bwd(
     relu_slope, strategy, att_gather_dtype, h_gather_dtype, stabilize,
     res, ct,
 ):
-    # Differentiate the pure-XLA formulation (scan + scatter-add — fully
-    # AD-able) with EXACT gather modes; the Pallas forward kernel itself
-    # is not differentiable.  The row shift is recomputed inside and is a
-    # CONSTANT w.r.t. (h, att) for AD purposes — it cancels in num/den,
-    # so its (piecewise) dependence on att contributes zero gradient;
-    # stop_gradient makes that explicit.
-    tp, plan, h, att = res
+    """Tile-streaming backward (see the derivation above gat_bwd_dad_xla).
 
-    # computed OUTSIDE the vjp trace: a stop_gradient on the OUTPUT would
-    # still evaluate the rowmax pallas_call on JVP tracers, which has no
-    # jvp rule (NotImplementedError); as a closed-over concrete array the
-    # shift is a true AD constant
-    shift = (
-        _hybrid_row_shift(tp, plan, att, relu_slope) if stabilize else None
-    )
+    With transposed tile plans available (tp_t), the tile gradients
+    stream the same BCSR machinery as the forward — d_ad over the
+    forward plan, (dh, d_as) over the transposed one — and only the
+    RESIDUAL part goes through jax.vjp.  Without tp_t (legacy callers),
+    the whole backward falls back to AD through the XLA formulation.
 
-    def f(hh, aa):
-        num, den = gat_bcsr(
-            tp, hh, aa, relu_slope, "xla", row_shift=shift
+    The row shift is a saved forward residual, concrete w.r.t. any vjp
+    trace (a stop_gradient on the output would still evaluate the rowmax
+    pallas_call on JVP tracers, which has no jvp rule); it cancels in
+    num/den, so it is a true AD constant."""
+    tp, plan, tp_t, h, att, out, den, shift = res
+
+    if tp_t is None:
+        # legacy AD-through-XLA backward (no transposed plans): correct
+        # at small scale, OOMs at reddit scale (saved scan branch tiles)
+        def f(hh, aa):
+            num, dd = gat_bcsr(
+                tp, hh, aa, relu_slope, "xla", row_shift=shift
+            )
+            if plan is not None and plan.num_edges:
+                nr, dr, _ = gat_aggregate_parts(
+                    plan, hh, aa, relu_slope=relu_slope, row_shift=shift
+                )
+                num, dd = num + nr, dd + dr
+            safe = jnp.where(dd == 0.0, 1.0, dd)
+            return (num / safe[:, None]).astype(hh.dtype)
+
+        _, vjp = jax.vjp(f, h, att)
+        dh, datt = vjp(ct)
+        return (None, None, None, dh, datt)
+
+    safe = jnp.where(den == 0.0, 1.0, den)
+    ctf = ct.astype(jnp.float32)
+    gbar = ctf / safe[:, None]
+    c = jnp.sum(ctf * out.astype(jnp.float32), axis=1) / safe
+    u12, v12 = _branch_factors(att, relu_slope, shift)
+
+    parts = tp if isinstance(tp, (tuple, list)) else (tp,)
+    parts_t = tp_t if isinstance(tp_t, (tuple, list)) else (tp_t,)
+    dh = jnp.zeros(h.shape, jnp.float32)
+    d_ad = jnp.zeros(att.shape[0], jnp.float32)
+    d_as = jnp.zeros(att.shape[0], jnp.float32)
+    for p in parts:
+        if p is None or not p.num_tiles:
+            continue
+        d_ad = d_ad + gat_bwd_dad(
+            p, h, gbar, c, u12, v12, relu_slope, strategy
         )
-        if plan is not None and plan.num_edges:
+    for p in parts_t:
+        if p is None or not p.num_tiles:
+            continue
+        dht, dast = gat_bwd_dh_das(
+            p, h, gbar, c, u12, v12, relu_slope, strategy
+        )
+        dh = dh + dht
+        d_as = d_as + dast
+
+    if plan is not None and plan.num_edges:
+        # residual: AD with cotangents (gbar on num, -c on den) — the
+        # exact chain-rule split of ct through out = num/den
+        def res_fn(hh, aa):
             nr, dr, _ = gat_aggregate_parts(
                 plan, hh, aa, relu_slope=relu_slope, row_shift=shift
             )
-            num, den = num + nr, den + dr
-        safe = jnp.where(den == 0.0, 1.0, den)
-        return (num / safe[:, None]).astype(hh.dtype)
+            return nr, dr
 
-    _, vjp = jax.vjp(f, h, att)
-    dh, datt = vjp(ct)
-    return (None, None, dh, datt)
+        _, vjp = jax.vjp(res_fn, h, att)
+        dh_r, datt_r = vjp((gbar.astype(h.dtype), -c))
+        dh = dh + dh_r.astype(jnp.float32)
+        d_ad = d_ad + datt_r[:, 0].astype(jnp.float32)
+        d_as = d_as + datt_r[:, 1].astype(jnp.float32)
+
+    datt = jnp.stack([d_ad, d_as], axis=1).astype(att.dtype)
+    return (None, None, None, dh.astype(h.dtype), datt)
 
 
 _hybrid_gat.defvjp(_hybrid_gat_fwd, _hybrid_gat_bwd)
@@ -366,6 +630,7 @@ def hybrid_gat(
     att_gather_dtype=None,
     h_gather_dtype=None,
     stabilize: bool = False,
+    tp_t=None,
 ) -> jnp.ndarray:
     """Fused GAT forward over a hybrid (dense tiles + residual) schedule.
 
@@ -377,13 +642,18 @@ def hybrid_gat(
     (_hybrid_row_shift) and folds it into the dst exponentials of every
     part, so the partial denominators still merge exactly while |z| up to
     ~80 stays finite — costs one extra A-stream + att-gather pass per
-    layer.  Differentiable in (h, att): backward re-derives the VJP
-    through the XLA formulation regardless of the forward strategy."""
+    layer.
+
+    Differentiable in (h, att).  With ``tp_t`` (transposed tile plans,
+    Aggregator.tile_parts_t) the backward STREAMS the tile gradients
+    through the same BCSR kernels as the forward (one tile pass per
+    output — fits reddit-scale HBM); without it the backward falls back
+    to AD through the XLA formulation (small scale only)."""
     for p in tp if isinstance(tp, (tuple, list)) else (tp,):
         assert p.scale_dst is None and p.scale_src is None, (
             "hybrid GAT needs raw count tiles (no factored scales)"
         )
     return _hybrid_gat(
-        tp, plan, h, att, relu_slope, strategy,
+        tp, plan, tp_t, h, att, relu_slope, strategy,
         att_gather_dtype, h_gather_dtype, stabilize,
     )

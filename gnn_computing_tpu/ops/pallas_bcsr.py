@@ -705,6 +705,321 @@ def gat_bcsr_pallas(
     return num[: tp.num_nodes], den[: tp.num_nodes, 0]
 
 
+def gat_bwd_dad_pallas(
+    tp: TilePlan,
+    h: jnp.ndarray,
+    gbar: jnp.ndarray,
+    c: jnp.ndarray,
+    u12: jnp.ndarray,
+    v12: jnp.ndarray,
+    relu_slope: float,
+    pack: int = None,
+):
+    """d_att_dst of the dense-tile GAT edges, streamed over the FORWARD
+    plan (row-run output residency like every aggregation kernel).
+
+    Math (see ops/bcsr_gat.py streaming-backward derivation): per tile
+    cell (i, j) with branch products b1 = u1_i v1_j, b2 = u2_i v2_j,
+
+        s_ij   = cnt * max(b1, b2)          (the exact forward score)
+        lrelu' = 1 if b1 >= b2 else slope   (b1 >= b2  <=>  z_ij > 0)
+        d_ad_i = sum_j lrelu' * s_ij * (<gbar_i, h_j> - c_i)
+
+    The <gbar, h> inner products of the whole tile are ONE MXU dot
+    gbar_blk [tr, f] @ hT_blk [f, tc] — the SDDMM shape.  This replaces
+    AD-through-the-scan, whose saved [chunk, tr, tc] branch tiles OOM'd
+    at reddit scale (the reference hand-writes this backward for the same
+    reason, aggr_gat.h:222-294)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tr, tc = tp.tile_rows, tp.tile_cols
+    f = h.shape[-1]
+    nct, nrt = tp.num_col_tiles, tp.num_row_tiles
+
+    def pad_to(x, size):
+        if x.shape[0] == size:
+            return x
+        p = [(0, size - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, p)
+
+    u12p = pad_to(u12.astype(jnp.float32), nrt * tr)
+    cp = pad_to(c.astype(jnp.float32)[:, None], nrt * tr)
+    gb = pad_to(gbar.astype(jnp.float32), nrt * tr)
+    # [nct, 2, tc] col-operand layout (block (1, 2, tc) per tile)
+    v12b = (
+        pad_to(v12.astype(jnp.float32), nct * tc)
+        .reshape(nct, tc, 2)
+        .transpose(0, 2, 1)
+    )
+    ht = pad_to(h.astype(jnp.float32), nct * tc).T  # [f, nct*tc]
+
+    a = jnp.asarray(tp.a)
+    num_t = a.shape[0]
+    c_bits = max(int(nct - 1).bit_length(), 1)
+    cmod = 1 << c_bits
+    rc = jnp.asarray(tp.tile_row) * cmod + jnp.asarray(tp.tile_col)
+
+    K = pack if pack is not None else (getattr(tp, "pack", 1) or 1)
+    assert num_t % K == 0
+    steps = num_t // K
+
+    def bounds(rc_ref, i):
+        first = (i == 0) | (
+            rc_ref[K * i] // cmod
+            != rc_ref[jnp.maximum(K * i - 1, 0)] // cmod
+        )
+        last = (i == steps - 1) | (
+            rc_ref[K * i + K - 1] // cmod
+            != rc_ref[jnp.minimum(K * i + K, num_t - 1)] // cmod
+        )
+        return first, last
+
+    a_rows = tr // 8 if tp.bits else tr
+    a_spec = pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
+    rowb = lambda i, rc: (rc[K * i] // cmod, 0)
+
+    def v12_spec(k):
+        return pl.BlockSpec(
+            (1, 2, tc), lambda i, rc: (rc[K * i + k] % cmod, 0, 0)
+        )
+
+    def ht_spec(k):
+        return pl.BlockSpec(
+            (f, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
+        )
+
+    def kernel(rc_ref, a_ref, u12_ref, c_ref, gbar_ref, *refs):
+        v12_refs = refs[:K]
+        ht_refs = refs[K : 2 * K]
+        out_ref, acc_ref = refs[2 * K :]
+        i = pl.program_id(0)
+        first, last = bounds(rc_ref, i)
+
+        @pl.when(first)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc = acc_ref[...]
+        u1 = u12_ref[:, :1]
+        u2 = u12_ref[:, 1:2]
+        for k in range(K):
+            if tp.bits:
+                cnt = decode_bit_tile(a_ref[k], jnp.float32)
+            else:
+                cnt = a_ref[k].astype(jnp.float32)
+            b1 = u1 * v12_refs[k][0, 0]
+            b2 = u2 * v12_refs[k][0, 1]
+            # cnt mask BEFORE multiply: non-edge cells can have
+            # unbounded branch exponentials at wide logits (0*inf=NaN)
+            s = jnp.where(cnt > 0.0, cnt * jnp.maximum(b1, b2), 0.0)
+            lp = jnp.where(b1 >= b2, 1.0, relu_slope)
+            p = jnp.dot(
+                gbar_ref[...],
+                ht_refs[k][...],
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            t = lp * s * (p - c_ref[...])
+            acc += jnp.sum(t, axis=1, keepdims=True)
+        acc_ref[...] = acc
+
+        @pl.when(last)
+        def _write():
+            out_ref[...] = acc_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            a_spec,
+            pl.BlockSpec((tr, 2), rowb),
+            pl.BlockSpec((tr, 1), rowb),
+            pl.BlockSpec((tr, f), rowb),
+        ]
+        + [v12_spec(k) for k in range(K)]
+        + [ht_spec(k) for k in range(K)],
+        out_specs=[pl.BlockSpec((tr, 1), rowb)],
+        scratch_shapes=[pltpu.VMEM((tr, 1), jnp.float32)],
+    )
+    (out,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[out_struct((nrt * tr, 1), jnp.float32, h)],
+    )(rc, a, u12p, cp, gb, *([v12b] * K), *([ht] * K))
+    return out[: tp.num_nodes, 0]
+
+
+def gat_bwd_dh_das_pallas(
+    tp_t: TilePlan,
+    h: jnp.ndarray,
+    gbar: jnp.ndarray,
+    c: jnp.ndarray,
+    u12: jnp.ndarray,
+    v12: jnp.ndarray,
+    relu_slope: float,
+    pack: int = None,
+):
+    """(dh, d_att_src) of the dense-tile GAT edges, streamed over the
+    TRANSPOSED plan (rows = source nodes, so both outputs accumulate in
+    row runs).  Per transposed tile cell (j, i):
+
+        s_ij  = cnt * max(v1_j u1_i, v2_j u2_i)
+        dh_j  = sum_i s_ij gbar_i              -> S_t @ gbar  (MXU)
+        d_as_j = sum_i lrelu' s_ij (<gbar_i, h_j> - c_i)
+                                               -> h @ gbarT (MXU) + VPU
+
+    ``h`` / ``v12`` index the transposed plan's ROWS (original sources);
+    ``gbar`` / ``u12`` / ``c`` its COLUMNS (original destinations)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tr, tc = tp_t.tile_rows, tp_t.tile_cols
+    f = h.shape[-1]
+    nct, nrt = tp_t.num_col_tiles, tp_t.num_row_tiles
+
+    def pad_to(x, size):
+        if x.shape[0] == size:
+            return x
+        p = [(0, size - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, p)
+
+    v12p = pad_to(v12.astype(jnp.float32), nrt * tr)
+    hp = pad_to(h.astype(jnp.float32), nrt * tr)
+    u12b = (
+        pad_to(u12.astype(jnp.float32), nct * tc)
+        .reshape(nct, tc, 2)
+        .transpose(0, 2, 1)
+    )  # [nct, 2, tc]
+    cb = pad_to(c.astype(jnp.float32)[:, None], nct * tc).reshape(
+        nct, 1, tc
+    )
+    gb = pad_to(gbar.astype(jnp.float32), nct * tc)
+    gbt = gb.T  # [f, nct*tc]
+
+    a = jnp.asarray(tp_t.a)
+    num_t = a.shape[0]
+    c_bits = max(int(nct - 1).bit_length(), 1)
+    cmod = 1 << c_bits
+    rc = jnp.asarray(tp_t.tile_row) * cmod + jnp.asarray(tp_t.tile_col)
+
+    K = pack if pack is not None else (getattr(tp_t, "pack", 1) or 1)
+    assert num_t % K == 0
+    steps = num_t // K
+
+    def bounds(rc_ref, i):
+        first = (i == 0) | (
+            rc_ref[K * i] // cmod
+            != rc_ref[jnp.maximum(K * i - 1, 0)] // cmod
+        )
+        last = (i == steps - 1) | (
+            rc_ref[K * i + K - 1] // cmod
+            != rc_ref[jnp.minimum(K * i + K, num_t - 1)] // cmod
+        )
+        return first, last
+
+    a_rows = tr // 8 if tp_t.bits else tr
+    a_spec = pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
+    rowb = lambda i, rc: (rc[K * i] // cmod, 0)
+
+    def colb3(k, shape):
+        return pl.BlockSpec(
+            shape, lambda i, rc: (rc[K * i + k] % cmod, 0, 0)
+        )
+
+    def gbar_spec(k):
+        return pl.BlockSpec(
+            (tc, f), lambda i, rc: (rc[K * i + k] % cmod, 0)
+        )
+
+    def gbt_spec(k):
+        return pl.BlockSpec(
+            (f, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
+        )
+
+    def kernel(rc_ref, a_ref, v12_ref, h_ref, *refs):
+        u12_refs = refs[:K]
+        c_refs = refs[K : 2 * K]
+        gbar_refs = refs[2 * K : 3 * K]
+        gbt_refs = refs[3 * K : 4 * K]
+        dh_ref, das_ref, acch_ref, accs_ref = refs[4 * K :]
+        i = pl.program_id(0)
+        first, last = bounds(rc_ref, i)
+
+        @pl.when(first)
+        def _zero():
+            acch_ref[...] = jnp.zeros_like(acch_ref)
+            accs_ref[...] = jnp.zeros_like(accs_ref)
+
+        acch = acch_ref[...]
+        accs = accs_ref[...]
+        v1 = v12_ref[:, :1]
+        v2 = v12_ref[:, 1:2]
+        for k in range(K):
+            if tp_t.bits:
+                cnt = decode_bit_tile(a_ref[k], jnp.float32)
+            else:
+                cnt = a_ref[k].astype(jnp.float32)
+            b1 = v1 * u12_refs[k][0, 0]
+            b2 = v2 * u12_refs[k][0, 1]
+            # cnt mask before multiply (0 * inf = NaN at non-edge cells)
+            s = jnp.where(cnt > 0.0, cnt * jnp.maximum(b1, b2), 0.0)
+            lp = jnp.where(b1 >= b2, 1.0, relu_slope)
+            acch += jnp.dot(
+                s,
+                gbar_refs[k][...],
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            p = jnp.dot(
+                h_ref[...],
+                gbt_refs[k][...],
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            t = lp * s * (p - c_refs[k][0])
+            accs += jnp.sum(t, axis=1, keepdims=True)
+        acch_ref[...] = acch
+        accs_ref[...] = accs
+
+        @pl.when(last)
+        def _write():
+            dh_ref[...] = acch_ref[...]
+            das_ref[...] = accs_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            a_spec,
+            pl.BlockSpec((tr, 2), rowb),
+            pl.BlockSpec((tr, f), rowb),
+        ]
+        + [colb3(k, (1, 2, tc)) for k in range(K)]
+        + [colb3(k, (1, 1, tc)) for k in range(K)]
+        + [gbar_spec(k) for k in range(K)]
+        + [gbt_spec(k) for k in range(K)],
+        out_specs=[
+            pl.BlockSpec((tr, f), rowb),
+            pl.BlockSpec((tr, 1), rowb),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tr, f), jnp.float32),
+            pltpu.VMEM((tr, 1), jnp.float32),
+        ],
+    )
+    dh, das = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            out_struct((nrt * tr, f), jnp.float32, h),
+            out_struct((nrt * tr, 1), jnp.float32, h),
+        ],
+    )(
+        rc, a, v12p, hp,
+        *([u12b] * K), *([cb] * K), *([gb] * K), *([gbt] * K),
+    )
+    return dh[: tp_t.num_nodes], das[: tp_t.num_nodes, 0]
+
+
 def rowmax_bcsr_pallas(
     tp: TilePlan,
     col_vals: jnp.ndarray,

@@ -1,0 +1,93 @@
+"""GAT tile-streaming backward (bcsr_gat gat_bwd_*) vs AD reference.
+
+The hand-derived backward (d_ad over the forward plan, dh/d_as over the
+transposed plan, residual via chain-rule-split cotangents) must match the
+gradients jax.vjp derives through the pure-XLA formulation — the legacy
+backward that is correct but OOMs at reddit scale.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_computing_tpu.aggregator import Aggregator
+from gnn_computing_tpu.graph import rmat_graph
+from gnn_computing_tpu.graph.synthetic import normal_features
+from gnn_computing_tpu.ops.bcsr_gat import hybrid_gat
+from gnn_computing_tpu.ops.validate import assert_valid
+
+
+def build(bit_tiles=False):
+    g = rmat_graph(700, 22000, seed=5, with_val=False)
+    return Aggregator.schedule_hybrid(
+        g,
+        tile_rows=16,
+        tile_cols=128,
+        threshold=4,
+        residual_block=8,
+        tile_dtype=np.int8,
+        bit_tiles=bit_tiles,
+        with_transpose=True,
+        device_put=True,
+        pack=2,
+    )
+
+
+def grads(agg, h, att, stabilize, tp_t):
+    def f(hh, aa):
+        out = hybrid_gat(
+            agg.tile_parts(),
+            agg.plan if agg.plan.num_edges else None,
+            hh,
+            aa,
+            stabilize=stabilize,
+            tp_t=tp_t,
+        )
+        w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+            out.shape
+        )
+        return jnp.sum(out * w)
+
+    return jax.grad(f, argnums=(0, 1))(h, att)
+
+
+@pytest.mark.parametrize("stabilize", [False, True])
+@pytest.mark.parametrize("bit_tiles", [False, True])
+@pytest.mark.parametrize("att_scale", [1.0, 15.0])
+def test_streaming_matches_ad(stabilize, bit_tiles, att_scale):
+    if att_scale > 1.0 and not stabilize:
+        pytest.skip("wide logits overflow the unstabilized reference form")
+    agg = build(bit_tiles=bit_tiles)
+    assert agg.tile_parts() and agg.tile_parts_t()
+    n = agg.num_nodes
+    f = 16
+    h = jnp.asarray(normal_features(n, f, seed=1))
+    att = jnp.asarray(normal_features(n, 2, seed=2) * att_scale)
+    dh_ref, datt_ref = grads(agg, h, att, stabilize, tp_t=None)
+    dh_s, datt_s = grads(
+        agg, h, att, stabilize, tp_t=agg.tile_parts_t()
+    )
+    assert_valid(np.asarray(dh_s), np.asarray(dh_ref), what="dh")
+    assert_valid(
+        np.asarray(datt_s), np.asarray(datt_ref), what="datt"
+    )
+
+
+def test_streaming_in_training_step():
+    """End-to-end: the Aggregator.run_gat path (which now passes tp_t)
+    takes a full value_and_grad step without error and with finite
+    gradients."""
+    agg = build()
+    n = agg.num_nodes
+    h = jnp.asarray(normal_features(n, 16, seed=3))
+    att = jnp.asarray(normal_features(n, 2, seed=4))
+
+    def loss(hh, aa):
+        out = agg.run_gat(hh, aa, stabilize=True)
+        return jnp.sum(out**2)
+
+    val, (dh, datt) = jax.value_and_grad(loss, argnums=(0, 1))(h, att)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(dh)).all()
+    assert np.isfinite(np.asarray(datt)).all()
