@@ -494,8 +494,16 @@ def add_transpose(agg, pack, cache_tag=None):
         else None
     )
     if tpath and os.path.exists(tpath):
-        log(f"loading cached transpose plans {os.path.basename(tpath)}")
         z = np.load(tpath)
+        if "edge_map" not in z.files:
+            # stale cache generation (pre edge-map): rebuild — without
+            # the map the GAT residual backward silently falls back to
+            # AD and re-OOMs (the saved [slots, f] gather temps)
+            log("transpose cache lacks edge_map — rebuilding")
+            z.close()
+            os.remove(tpath)
+            return add_transpose(agg, pack, cache_tag)
+        log(f"loading cached transpose plans {os.path.basename(tpath)}")
         nn, ns = int(z["num_nodes"]), int(z["n_src"])
         tile_t = _load_tile(z, "", nn, ns)
         tile_b_t = _load_tile(z, "b_", nn, ns)
@@ -516,6 +524,7 @@ def add_transpose(agg, pack, cache_tag=None):
         return dataclasses.replace(
             agg,
             plan_t=plan_t,
+            edge_map_t=z["edge_map"],
             tile_t=None if tile_t is None else tile_t.pad_runs(pack),
             tile_bits_t=(
                 None if tile_b_t is None else tile_b_t.pad_runs(pack)
@@ -540,7 +549,8 @@ def add_transpose(agg, pack, cache_tag=None):
         val=np.ones(len(e_src), np.float32),
         n_src=agg.n_src,
     )
-    gt, _ = res.transpose_with_map()
+    gt, edge_map = res.transpose_with_map()
+    edge_map = edge_map.astype(np.int32)
     plan_t = make_plan(gt, block_size=plan.block_size)
     # tile.transpose() needs the UNPADDED plan; strip pad tiles (all-zero
     # rows appended by pad_runs use col 0 — transpose() re-sorts anyway,
@@ -563,6 +573,7 @@ def add_transpose(agg, pack, cache_tag=None):
         np.savez(
             tpath,
             **a_kw,
+            edge_map=edge_map,
             num_nodes=plan_t.num_nodes,
             n_src=plan_t.n_src,
             p_src=plan_t.src,
@@ -575,6 +586,7 @@ def add_transpose(agg, pack, cache_tag=None):
     return dataclasses.replace(
         agg,
         plan_t=plan_t,
+        edge_map_t=edge_map,
         tile_t=None if tile_t is None else tile_t.pad_runs(pack),
         tile_bits_t=(
             None if tile_b_t is None else tile_b_t.pad_runs(pack)
@@ -775,6 +787,12 @@ def main():
         "16-bit fast gather path (f<=64) — bit-level exact to >=16 "
         "mantissa bits, passes the 1e-2/1e-5 gate (tests/test_tiles.py). "
         "exact = f32 residual + split3 tiles everywhere.",
+    )
+    ap.add_argument(
+        "--gat-dot-mode", default="exact", choices=["exact", "default"],
+        help="GAT maxdot tile-kernel dot precision: exact (HIGHEST f32, "
+        "~6 MXU passes/tile) or default (1 bf16 pass — single-rounds the "
+        "score/h operands; measure vs the 1e-2 gate before promoting)",
     )
     ap.add_argument(
         "--input-dtype", default=None, choices=["f32", "bf16"],
@@ -1213,7 +1231,9 @@ def main():
         gat_fast = (
             args.layer_config == "fast" and args.strategy == "hybrid"
         )
-        forward = lambda s, p, hh: gat_forward(s, p, hh, fast=gat_fast)
+        forward = lambda s, p, hh: gat_forward(
+            s, p, hh, fast=gat_fast, dot_mode=args.gat_dot_mode
+        )
     else:
         from gnn_computing_tpu.models.gcn import fast_layer_opts
 
@@ -1251,6 +1271,11 @@ def main():
             "graph": args.graph, "reorder": args.reorder,
             "threshold": args.threshold, "threshold2": args.threshold2,
             "tile_rows": args.tile_rows, "strategy": args.strategy,
+            **(
+                {"gat_dot_mode": args.gat_dot_mode}
+                if args.model == "gat"
+                else {}
+            ),
         },
     )
     r = benchmark_chained(

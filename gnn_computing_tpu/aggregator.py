@@ -282,6 +282,7 @@ class Aggregator:
         stabilize: bool = False,
         att_gather_dtype=None,
         h_gather_dtype=None,
+        dot_mode: str = "exact",
     ) -> jnp.ndarray:
         """Fused GAT attention aggregation (Aggregator_GAT::run,
         aggr_gat.h:317-354)."""
@@ -295,6 +296,9 @@ class Aggregator:
                 h_gather_dtype=h_gather_dtype,
                 stabilize=stabilize,
                 tp_t=self.tile_parts_t() or None,
+                plan_t=self.plan_t,
+                edge_map_t=self.edge_map_t,
+                dot_mode=dot_mode,
             )
         return gat_mod.gat_aggregate(
             self.plan, h, att, relu_slope=relu_slope, stabilize=stabilize

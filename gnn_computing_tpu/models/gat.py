@@ -33,6 +33,7 @@ def gat_layer(
     stabilize: bool = False,
     att_gather_dtype=None,
     h_gather_dtype=None,
+    dot_mode: str = "exact",
 ) -> jnp.ndarray:
     # HIGHEST: TPU DEFAULT dot is single-pass bf16 and fails the 1e-2 gate
     feat2 = jnp.dot(
@@ -45,6 +46,7 @@ def gat_layer(
             f2, att, relu_slope=relu_slope, stabilize=stabilize,
             att_gather_dtype=att_gather_dtype,
             h_gather_dtype=h_gather_dtype,
+            dot_mode=dot_mode,
         )
     else:
         agg_fn = lambda f2, att: gat_aggregate(
@@ -92,6 +94,7 @@ def gat_forward(
     relu_slope: float = DEFAULT_SLOPE,
     stabilize: bool = False,
     fast: bool = False,
+    dot_mode: str = "exact",
 ) -> jnp.ndarray:
     """3-layer benchmark forward (our.py:274-277 — no inter-layer
     nonlinearity beyond the softmax-weighted aggregation, matching the
@@ -111,6 +114,7 @@ def gat_forward(
                 h_gather_dtype="f16_split2" if f_out <= 64 else None,
             )
         h = gat_layer(
-            plan, h, p, relu_slope=relu_slope, stabilize=stabilize, **kw
+            plan, h, p, relu_slope=relu_slope, stabilize=stabilize,
+            dot_mode=dot_mode, **kw
         )
     return h

@@ -399,16 +399,21 @@ def gat_bcsr(
     relu_slope: float = DEFAULT_SLOPE,
     strategy: str = "auto",
     row_shift=None,
+    dot_mode: str = "exact",
 ):
     """``tp``: one TilePlan or a tuple (mixed bitmask/int8 parts); partial
-    (numerator, denominator) sums merge exactly."""
+    (numerator, denominator) sums merge exactly.  dot_mode='default'
+    single-rounds the maxdot score/h operands (1 bf16 MXU pass instead of
+    ~6) — a measured time/accuracy trade, Pallas path only."""
     if isinstance(tp, (tuple, list)):
         parts = [p for p in tp if p is not None and p.num_tiles]
         num, den = gat_bcsr(
-            parts[0], h, att, relu_slope, strategy, row_shift
+            parts[0], h, att, relu_slope, strategy, row_shift, dot_mode
         )
         for p in parts[1:]:
-            n2, d2 = gat_bcsr(p, h, att, relu_slope, strategy, row_shift)
+            n2, d2 = gat_bcsr(
+                p, h, att, relu_slope, strategy, row_shift, dot_mode
+            )
             num, den = num + n2, den + d2
         return num, den
     if strategy in ("auto", "pallas"):
@@ -420,7 +425,7 @@ def gat_bcsr(
                 # f32-exact at wide logits (PERF_NOTES.md)
                 return pallas_bcsr.gat_bcsr_pallas(
                     tp, h, att, relu_slope=relu_slope, mode="maxdot",
-                    row_shift=row_shift,
+                    row_shift=row_shift, dot_mode=dot_mode,
                 )
             except NotImplementedError:
                 pass
@@ -473,7 +478,7 @@ def _hybrid_row_shift(tp, plan, att, relu_slope):
 def _hybrid_gat_impl(
     tp, plan, h, att, relu_slope, strategy,
     att_gather_dtype=None, h_gather_dtype=None, stabilize=False,
-    with_den=False, row_shift=None,
+    with_den=False, row_shift=None, dot_mode="exact",
 ):
     # stop_gradient: the shift cancels exactly in num/den (softmax shift
     # invariance), so its true gradient contribution is zero — and without
@@ -485,10 +490,12 @@ def _hybrid_gat_impl(
             _hybrid_row_shift(tp, plan, att, relu_slope)
         )
     num, den = gat_bcsr(
-        tp, h, att, relu_slope, strategy, row_shift=row_shift
+        tp, h, att, relu_slope, strategy, row_shift=row_shift,
+        dot_mode=dot_mode,
     )
+    score = None
     if plan is not None and plan.num_edges:
-        nr, dr, _ = gat_aggregate_parts(
+        nr, dr, score = gat_aggregate_parts(
             plan, h, att, relu_slope=relu_slope, stabilize=False,
             att_gather_dtype=att_gather_dtype,
             h_gather_dtype=h_gather_dtype,
@@ -499,24 +506,26 @@ def _hybrid_gat_impl(
     safe = jnp.where(den == 0.0, 1.0, den)
     out = (num / safe[:, None]).astype(h.dtype)
     if with_den:
-        return out, den
+        return out, den, score
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12)
+)
 def _hybrid_gat(
-    tp, plan, tp_t, h, att, relu_slope, strategy, att_gather_dtype,
-    h_gather_dtype, stabilize,
+    tp, plan, tp_t, plan_t, edge_map_t, h, att, relu_slope, strategy,
+    att_gather_dtype, h_gather_dtype, stabilize, dot_mode,
 ):
     return _hybrid_gat_impl(
         tp, plan, h, att, relu_slope, strategy,
-        att_gather_dtype, h_gather_dtype, stabilize,
+        att_gather_dtype, h_gather_dtype, stabilize, dot_mode=dot_mode,
     )
 
 
 def _hybrid_gat_fwd(
-    tp, plan, tp_t, h, att, relu_slope, strategy, att_gather_dtype,
-    h_gather_dtype, stabilize,
+    tp, plan, tp_t, plan_t, edge_map_t, h, att, relu_slope, strategy,
+    att_gather_dtype, h_gather_dtype, stabilize, dot_mode,
 ):
     # shift computed HERE and saved: the backward reuses it instead of
     # re-streaming the whole A array through the rowmax kernel
@@ -527,17 +536,28 @@ def _hybrid_gat_fwd(
         if stabilize
         else None
     )
-    out, den = _hybrid_gat_impl(
+    out, den, score = _hybrid_gat_impl(
         tp, plan, h, att, relu_slope, strategy,
         att_gather_dtype, h_gather_dtype, stabilize, with_den=True,
-        row_shift=shift,
+        row_shift=shift, dot_mode=dot_mode,
     )
-    return out, (tp, plan, tp_t, h, att, out, den, shift)
+    # residual slot scores saved FLAT (a [nt, B<128] 2-D residual would
+    # rest at 128/B lane padding); only kept when the hand-written
+    # residual backward can consume them
+    score_flat = (
+        score.reshape(-1)
+        if score is not None and plan_t is not None
+        else None
+    )
+    return out, (
+        tp, plan, tp_t, plan_t, edge_map_t, h, att, out, den, shift,
+        score_flat,
+    )
 
 
 def _hybrid_gat_bwd(
     relu_slope, strategy, att_gather_dtype, h_gather_dtype, stabilize,
-    res, ct,
+    dot_mode, res, ct,
 ):
     """Tile-streaming backward (see the derivation above gat_bwd_dad_xla).
 
@@ -551,7 +571,10 @@ def _hybrid_gat_bwd(
     trace (a stop_gradient on the output would still evaluate the rowmax
     pallas_call on JVP tracers, which has no jvp rule); it cancels in
     num/den, so it is a true AD constant."""
-    tp, plan, tp_t, h, att, out, den, shift = res
+    (
+        tp, plan, tp_t, plan_t, edge_map_t, h, att, out, den, shift,
+        score_flat,
+    ) = res
 
     if tp_t is None:
         # legacy AD-through-XLA backward (no transposed plans): correct
@@ -570,7 +593,7 @@ def _hybrid_gat_bwd(
 
         _, vjp = jax.vjp(f, h, att)
         dh, datt = vjp(ct)
-        return (None, None, None, dh, datt)
+        return (None, None, None, None, None, dh, datt)
 
     safe = jnp.where(den == 0.0, 1.0, den)
     ctf = ct.astype(jnp.float32)
@@ -599,22 +622,102 @@ def _hybrid_gat_bwd(
         d_as = d_as + dast
 
     if plan is not None and plan.num_edges:
-        # residual: AD with cotangents (gbar on num, -c on den) — the
-        # exact chain-rule split of ct through out = num/den
-        def res_fn(hh, aa):
-            nr, dr, _ = gat_aggregate_parts(
-                plan, hh, aa, relu_slope=relu_slope, row_shift=shift
+        if (
+            plan_t is not None
+            and edge_map_t is not None
+            and score_flat is not None
+        ):
+            dh_r, dad_r, das_r = _residual_bwd_flat(
+                plan, plan_t, edge_map_t, h, gbar, c, score_flat,
+                shift, relu_slope,
             )
-            return nr, dr
+            dh = dh + dh_r
+            d_ad = d_ad + dad_r
+            d_as = d_as + das_r
+        else:
+            # fallback: AD with cotangents (gbar on num, -c on den) —
+            # the exact chain-rule split of ct through out = num/den.
+            # The vjp SAVES the gathered [slots, f] rows (lane-padded 4x
+            # at f=32) — measured as the 19.9 GB OOM driver at reddit
+            # scale; the flat hand-written form above avoids it.
+            def res_fn(hh, aa):
+                nr, dr, _ = gat_aggregate_parts(
+                    plan, hh, aa, relu_slope=relu_slope, row_shift=shift
+                )
+                return nr, dr
 
-        _, vjp = jax.vjp(res_fn, h, att)
-        dh_r, datt_r = vjp((gbar.astype(h.dtype), -c))
-        dh = dh + dh_r.astype(jnp.float32)
-        d_ad = d_ad + datt_r[:, 0].astype(jnp.float32)
-        d_as = d_as + datt_r[:, 1].astype(jnp.float32)
+            _, vjp = jax.vjp(res_fn, h, att)
+            dh_r, datt_r = vjp((gbar.astype(h.dtype), -c))
+            dh = dh + dh_r.astype(jnp.float32)
+            d_ad = d_ad + datt_r[:, 0].astype(jnp.float32)
+            d_as = d_as + datt_r[:, 1].astype(jnp.float32)
 
     datt = jnp.stack([d_ad, d_as], axis=1).astype(att.dtype)
-    return (None, None, None, dh.astype(h.dtype), datt)
+    return (None, None, None, None, None, dh.astype(h.dtype), datt)
+
+
+def _residual_bwd_flat(
+    plan, plan_t, edge_map_t, h, gbar, c, score_flat, shift, relu_slope
+):
+    """Hand-written residual backward, every slot temp FLAT 1-D.
+
+    Same math as the tile backward: dz_e = lrelu' s_e (<gbar_i, h_j> -
+    c_i); d_ad by task/destination segment sums on the forward plan;
+    dh = sum_i s_ij gbar_i and d_as by the TRANSPOSED residual plan
+    (slot values carried over via the edge map — the reference's
+    val/edge correspondence).  The branch test recovers from the saved
+    score itself: z > 0  <=>  s = exp(z - M) > exp(-M).
+    """
+    from gnn_computing_tpu.ops.spmm import (
+        edge_values_from_slots_flat,
+        sddmm_slots_chunked,
+        slots_from_edge_values_flat,
+        spmm_xla,
+    )
+
+    nt, b = plan.num_tasks_padded, plan.block_size
+    dst = jnp.asarray(plan.dst)
+    s_flat = score_flat.astype(jnp.float32)
+    # per-slot <gbar[dst], h[src]> through the CHUNKED slot-SDDMM: the
+    # unchunked [slots, f] gather-dot failed to fuse in this (AD-traced)
+    # context and materialized lane-padded multi-GB temps — measured as
+    # the 20.1 GB reddit train OOM; chunking bounds the peak per chunk
+    p_flat = sddmm_slots_chunked(
+        plan, h.astype(jnp.float32), gbar
+    ).reshape(-1)
+    c_rep = jnp.repeat(jnp.take(c, dst), b)
+    dsz = s_flat * (p_flat - c_rep)
+    # z > 0 <=> exp(z - M) > exp(-M); pad slots have s = 0 -> slope
+    # branch, but dsz = 0 there so the value is irrelevant
+    thr = (
+        jnp.repeat(jnp.exp(-jnp.take(shift, dst)), b)
+        if shift is not None
+        else 1.0
+    )
+    dz = jnp.where(s_flat > thr, 1.0, relu_slope) * dsz
+    d_ad = jax.ops.segment_sum(
+        dz.reshape(nt, b).sum(axis=1),
+        dst,
+        num_segments=plan.num_nodes,
+        indices_are_sorted=plan.sorted_by_dst,
+    )
+    # transposed slot layout for the source-side outputs
+    perm = jnp.asarray(edge_map_t)
+    dz_t = slots_from_edge_values_flat(
+        plan_t, edge_values_from_slots_flat(plan, dz)[perm]
+    )
+    nt2, b2 = plan_t.num_tasks_padded, plan_t.block_size
+    d_as = jax.ops.segment_sum(
+        dz_t.reshape(nt2, b2).sum(axis=1),
+        jnp.asarray(plan_t.dst),
+        num_segments=plan_t.num_nodes,
+        indices_are_sorted=plan_t.sorted_by_dst,
+    )
+    s_t = slots_from_edge_values_flat(
+        plan_t, edge_values_from_slots_flat(plan, s_flat)[perm]
+    )
+    dh = spmm_xla(plan_t, gbar, val=s_t)
+    return dh, d_ad, d_as
 
 
 _hybrid_gat.defvjp(_hybrid_gat_fwd, _hybrid_gat_bwd)
@@ -631,6 +734,9 @@ def hybrid_gat(
     h_gather_dtype=None,
     stabilize: bool = False,
     tp_t=None,
+    plan_t=None,
+    edge_map_t=None,
+    dot_mode: str = "exact",
 ) -> jnp.ndarray:
     """Fused GAT forward over a hybrid (dense tiles + residual) schedule.
 
@@ -647,13 +753,17 @@ def hybrid_gat(
     Differentiable in (h, att).  With ``tp_t`` (transposed tile plans,
     Aggregator.tile_parts_t) the backward STREAMS the tile gradients
     through the same BCSR kernels as the forward (one tile pass per
-    output — fits reddit-scale HBM); without it the backward falls back
-    to AD through the XLA formulation (small scale only)."""
+    output — fits reddit-scale HBM); with ``plan_t``/``edge_map_t``
+    (transposed residual plan + edge correspondence) the RESIDUAL
+    backward is hand-written too, all-flat (the AD fallback saves
+    lane-padded [slots, f] gather temps — the measured reddit OOM
+    driver).  Without them the backward falls back to AD through the
+    XLA formulation (small scale only)."""
     for p in tp if isinstance(tp, (tuple, list)) else (tp,):
         assert p.scale_dst is None and p.scale_src is None, (
             "hybrid GAT needs raw count tiles (no factored scales)"
         )
     return _hybrid_gat(
-        tp, plan, tp_t, h, att, relu_slope, strategy,
-        att_gather_dtype, h_gather_dtype, stabilize,
+        tp, plan, tp_t, plan_t, edge_map_t, h, att, relu_slope,
+        strategy, att_gather_dtype, h_gather_dtype, stabilize, dot_mode,
     )

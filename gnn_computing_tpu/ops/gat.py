@@ -134,11 +134,49 @@ def gat_aggregate_parts(
     nt, b = plan.num_tasks_padded, plan.block_size
     if packed is None:
         packed = False
-    if row_shift is not None:
+    if row_shift is not None and not stabilize:
         # caller-provided per-destination softmax shift (the hybrid path
         # shares ONE shift across tiles + residual so the partial
-        # denominators stay commensurate); same math as the internal
-        # stabilize branch with row_max := row_shift
+        # denominators stay commensurate): ride the FLAT pipeline with
+        # the shift subtracted per slot — the 2-D internal-stabilize
+        # branch pays 32x lane padding on every materialized [nt, B<128]
+        # temp (the reddit GAT TRAIN step runs this path every layer)
+        zf = leaky_relu(
+            _att_slots_flat(plan, att, gather_dtype=att_gather_dtype),
+            relu_slope,
+        )
+        zf = zf - jnp.repeat(
+            jnp.take(row_shift.astype(jnp.float32), dst), b
+        )
+        slot_iota = jnp.arange(nt * b, dtype=jnp.int32) % b
+        cnt_flat = jnp.repeat(jnp.asarray(plan.count), b)
+        score_flat = jnp.where(slot_iota < cnt_flat, jnp.exp(zf), 0.0)
+
+        from gnn_computing_tpu.ops.spmm import weighted_task_sums
+
+        num_task = weighted_task_sums(
+            plan, h, score_flat, gather_dtype=h_gather_dtype
+        )
+        denom_task = score_flat.reshape(nt, b).sum(axis=1)
+        if f < 128:
+            both = jax.ops.segment_sum(
+                jnp.concatenate(
+                    [num_task, denom_task[:, None]], axis=1
+                ),
+                dst, num_segments=plan.num_nodes,
+                indices_are_sorted=plan.sorted_by_dst,
+            )
+            return both[:, :f], both[:, f], score_flat.reshape(nt, b)
+        num = jax.ops.segment_sum(
+            num_task, dst, num_segments=plan.num_nodes,
+            indices_are_sorted=plan.sorted_by_dst,
+        )
+        denom = jax.ops.segment_sum(
+            denom_task, dst, num_segments=plan.num_nodes,
+            indices_are_sorted=plan.sorted_by_dst,
+        )
+        return num, denom, score_flat.reshape(nt, b)
+    if row_shift is not None:
         stabilize = True
     if packed and not stabilize:
         src_flat = plan.src_flat()

@@ -77,6 +77,47 @@ def slots_from_edge_values(plan: AggregationPlan, edge_val: jnp.ndarray):
     return jnp.where(mask, edge_val[safe], 0.0)
 
 
+def _slot_pos_flat(plan: AggregationPlan):
+    """(scheduled-edge position, count, slot-id) per FLAT slot [nt_p*B] —
+    the 1-D form of slot_positions/slot_mask (a materialized [nt, B<128]
+    2-D temp is (8,128)-tiled and pays a 128/B lane-padding factor)."""
+    count = jnp.asarray(plan.count)
+    cum = jnp.cumsum(count) - count  # exclusive
+    b = plan.block_size
+    slot = jnp.arange(
+        plan.num_tasks_padded * b, dtype=count.dtype
+    ) % b
+    return jnp.repeat(cum, b) + slot, jnp.repeat(count, b), slot
+
+
+def slots_from_edge_values_flat(
+    plan: AggregationPlan, edge_val: jnp.ndarray
+):
+    """slots_from_edge_values with FLAT [nt_p*B] output (1-D pipeline)."""
+    pos, cnt_rep, slot = _slot_pos_flat(plan)
+    if plan.edge_perm is not None:
+        edge_val = edge_val[jnp.asarray(plan.edge_perm)]
+    safe = jnp.minimum(pos, max(plan.num_edges - 1, 0))
+    return jnp.where(slot < cnt_rep, edge_val[safe], 0.0)
+
+
+def edge_values_from_slots_flat(
+    plan: AggregationPlan, slot_val_flat: jnp.ndarray
+):
+    """edge_values_from_slots with FLAT [nt_p*B] input (1-D pipeline)."""
+    pos, cnt_rep, slot = _slot_pos_flat(plan)
+    flat_pos = jnp.where(slot < cnt_rep, pos, plan.num_edges)
+    out = jnp.zeros((plan.num_edges,), slot_val_flat.dtype)
+    out = out.at[flat_pos].set(slot_val_flat, mode="drop")
+    if plan.edge_perm is not None:
+        inv = jnp.zeros((plan.num_edges,), jnp.int32)
+        inv = inv.at[jnp.asarray(plan.edge_perm)].set(
+            jnp.arange(plan.num_edges, dtype=jnp.int32)
+        )
+        out = out[inv]
+    return out
+
+
 def edge_values_from_slots(plan: AggregationPlan, slot_val: jnp.ndarray):
     """Inverse of slots_from_edge_values: collect [nt, B] slot values back to
     per-edge original CSR order (for ops that *produce* edge values, e.g.

@@ -34,7 +34,7 @@ def build(bit_tiles=False):
     )
 
 
-def grads(agg, h, att, stabilize, tp_t):
+def grads(agg, h, att, stabilize, tp_t, with_plan_t=True):
     def f(hh, aa):
         out = hybrid_gat(
             agg.tile_parts(),
@@ -43,6 +43,10 @@ def grads(agg, h, att, stabilize, tp_t):
             aa,
             stabilize=stabilize,
             tp_t=tp_t,
+            plan_t=agg.plan_t if (tp_t and with_plan_t) else None,
+            edge_map_t=(
+                agg.edge_map_t if (tp_t and with_plan_t) else None
+            ),
         )
         w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)).reshape(
             out.shape
@@ -65,12 +69,22 @@ def test_streaming_matches_ad(stabilize, bit_tiles, att_scale):
     h = jnp.asarray(normal_features(n, f, seed=1))
     att = jnp.asarray(normal_features(n, 2, seed=2) * att_scale)
     dh_ref, datt_ref = grads(agg, h, att, stabilize, tp_t=None)
+    # streaming tiles + hand-written flat residual backward
     dh_s, datt_s = grads(
         agg, h, att, stabilize, tp_t=agg.tile_parts_t()
     )
     assert_valid(np.asarray(dh_s), np.asarray(dh_ref), what="dh")
     assert_valid(
         np.asarray(datt_s), np.asarray(datt_ref), what="datt"
+    )
+    # streaming tiles + AD residual fallback (no plan_t)
+    dh_f, datt_f = grads(
+        agg, h, att, stabilize, tp_t=agg.tile_parts_t(),
+        with_plan_t=False,
+    )
+    assert_valid(np.asarray(dh_f), np.asarray(dh_ref), what="dh fb")
+    assert_valid(
+        np.asarray(datt_f), np.asarray(datt_ref), what="datt fb"
     )
 
 
