@@ -669,10 +669,10 @@ def _residual_bwd_flat(
     score itself: z > 0  <=>  s = exp(z - M) > exp(-M).
     """
     from gnn_computing_tpu.ops.spmm import (
+        _spmm_xla_chunked,
         edge_values_from_slots_flat,
         sddmm_slots_chunked,
         slots_from_edge_values_flat,
-        spmm_xla,
     )
 
     nt, b = plan.num_tasks_padded, plan.block_size
@@ -695,28 +695,31 @@ def _residual_bwd_flat(
         else 1.0
     )
     dz = jnp.where(s_flat > thr, 1.0, relu_slope) * dsz
+    # d_ad via a 1-D slot->task segment sum (a reshape(nt, b).sum(1)
+    # materializes [nt, B<128] at 128/B lane padding — 469 MB measured)
+    task_ids = (
+        jnp.arange(nt * b, dtype=jnp.int32) // b
+    )
     d_ad = jax.ops.segment_sum(
-        dz.reshape(nt, b).sum(axis=1),
+        jax.ops.segment_sum(dz, task_ids, num_segments=nt,
+                            indices_are_sorted=True),
         dst,
         num_segments=plan.num_nodes,
         indices_are_sorted=plan.sorted_by_dst,
     )
-    # transposed slot layout for the source-side outputs
+    # d_as: direct 1-D scatter over sources (pad slots carry dz = 0 and
+    # point at row 0 — harmless adds)
+    d_as = jnp.zeros((plan.n_src,), jnp.float32).at[
+        plan.src_flat()
+    ].add(dz)
+    # dh over the transposed plan, FORCED chunked: the full-size
+    # [slots, f] gather refuses to fuse in this backward context and
+    # materialized 1.8 GB lane-padded (measured OOM contributor)
     perm = jnp.asarray(edge_map_t)
-    dz_t = slots_from_edge_values_flat(
-        plan_t, edge_values_from_slots_flat(plan, dz)[perm]
-    )
-    nt2, b2 = plan_t.num_tasks_padded, plan_t.block_size
-    d_as = jax.ops.segment_sum(
-        dz_t.reshape(nt2, b2).sum(axis=1),
-        jnp.asarray(plan_t.dst),
-        num_segments=plan_t.num_nodes,
-        indices_are_sorted=plan_t.sorted_by_dst,
-    )
     s_t = slots_from_edge_values_flat(
         plan_t, edge_values_from_slots_flat(plan, s_flat)[perm]
     )
-    dh = spmm_xla(plan_t, gbar, val=s_t)
+    dh = _spmm_xla_chunked(plan_t, gbar, s_t)
     return dh, d_ad, d_as
 
 
