@@ -1014,9 +1014,12 @@ def main():
             f"sagelstm_{args.scale_label}_scale_edges_per_s_per_chip",
             baselines["sage"], lambda t: n * SAGE_K / t,
         )
+        # unroll=16: measured 18.5 -> 17.9 ms at reddit scale (the only
+        # surviving lever of the round-4 SAGE sweep, probes/sage_unroll)
         r = benchmark_chained(
             lambda xx, p, nb: lstm_aggregate(
-                p, xx, nb, "redundancy_bypass", gate_gather_dtype=gdt
+                p, xx, nb, "redundancy_bypass", gate_gather_dtype=gdt,
+                unroll=16,
             ),
             x, params, nbr, iters=args.iters, reps=3, on_rep=em.on_rep,
         )
