@@ -686,7 +686,8 @@ def run_train(args, g, n, m):
     log("compiling + warmup (train step)...")
     passes = 6  # 3 fwd + 3 bwd-dH aggregations
     em = Emitter(
-        f"{args.model}3_train_step_agg_passes_edges_per_s_per_chip",
+        f"{args.model}3_train_{args.scale_label}_scale_step_agg_passes"
+        "_edges_per_s_per_chip",
         SCALE_BASELINES[args.scale][args.model],
         lambda t: passes * m / t,
         capture_extra={"model": args.model, "train": True},
