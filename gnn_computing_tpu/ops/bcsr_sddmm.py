@@ -103,17 +103,35 @@ def sddmm_bcsr_pallas(
     b: jnp.ndarray,
     out_dtype=jnp.bfloat16,
     pack: int = None,
+    dot_mode: str = "exact",
 ) -> jnp.ndarray:
-    """Per-cell SDDMM values via one MXU dot per tile.
+    """Per-cell SDDMM values via MXU dots per tile.
 
     Unlike the aggregation kernels there is no run residency: each grid
     step OWNS its output block ([K, tr, tc] at grid index i), so the
     kernel is a pure stream — A tile in, scored tile out.  The a-side
     operand is pre-transposed ONCE in XLA ([f, n] blocks [f, tc]) so the
-    in-kernel dot is a plain [tr, f] @ [f, tc] contraction."""
+    in-kernel dot is a plain [tr, f] @ [f, tc] contraction.
+
+    dot_mode:
+      'split23' (opt-in) — both operands split into 2 bf16 residue
+        chunks and ALL four cross products computed as TWO packed
+        [tr, 2f] @ [2f, tc] dots (dot1: [bh|bl] @ [ah;ah] = bh.ah +
+        bl.ah; dot2: [bh|bl] @ [al;al] = bh.al + bl.al) — EXACT to the
+        split's 16 mantissa bits per chunk (sum == f32 product), 4 bf16
+        MXU passes vs HIGHEST's 6.  NOT the default: 16-bit split
+        chunks intrinsically miss the strict 1e-2/1e-5 gate on ~1e-6 of
+        cells (catastrophic cancellation near zero — numpy reproduces
+        the same failures; a 3-dot variant dropping bl@al is worse).
+      'exact' (default) — single HIGHEST f32 dot, 0 bad elements.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from gnn_computing_tpu.ops.pallas_bcsr import decode_bit_tile, out_struct
+    from gnn_computing_tpu.ops.pallas_bcsr import (
+        bf16_residue_chunks,
+        decode_bit_tile,
+        out_struct,
+    )
 
     tr, tc = tp.tile_rows, tp.tile_cols
     f = a.shape[-1]
@@ -122,7 +140,6 @@ def sddmm_bcsr_pallas(
     a_f = a.astype(jnp.float32)
     if a_f.shape[0] != nct * tc:
         a_f = jnp.pad(a_f, ((0, nct * tc - a_f.shape[0]), (0, 0)))
-    a_tr = a_f.T  # [f, nct*tc]
     b_f = b.astype(jnp.float32)
     if b_f.shape[0] != nrt * tr:
         b_f = jnp.pad(b_f, ((0, nrt * tr - b_f.shape[0]), (0, 0)))
@@ -139,6 +156,66 @@ def sddmm_bcsr_pallas(
 
     a_rows = tr // 8 if tp.bits else tr
     a_spec = pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
+
+    if dot_mode == "split23":
+        bh, bl = bf16_residue_chunks(b_f, 2)
+        b_op = jnp.concatenate([bh, bl], axis=1)  # [nrt*tr, 2f] bf16
+        ah, al = bf16_residue_chunks(a_f, 2)
+        # [2f, nct*tc] each: chunk stacked twice -> each dot against
+        # [bh|bl] yields BOTH products with that chunk
+        a_top = jnp.concatenate([ah.T, ah.T], axis=0)
+        a_bot = jnp.concatenate([al.T, al.T], axis=0)
+        b_spec = pl.BlockSpec(
+            (tr, 2 * f), lambda i, rc: (rc[K * i] // cmod, 0)
+        )
+
+        def a_top_spec(k):
+            return pl.BlockSpec(
+                (2 * f, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
+            )
+
+        def a_bot_spec(k):
+            return pl.BlockSpec(
+                (2 * f, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
+            )
+
+        def kernel(rc_ref, a_ref, b_ref, *refs):
+            at_refs = refs[:K]
+            ab_refs = refs[K : 2 * K]
+            out_ref = refs[2 * K]
+            for k in range(K):
+                if tp.bits:
+                    cnt = decode_bit_tile(a_ref[k], jnp.float32)
+                else:
+                    cnt = a_ref[k].astype(jnp.float32)
+                p = jnp.dot(
+                    b_ref[...],
+                    at_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                ) + jnp.dot(
+                    b_ref[...],
+                    ab_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                )
+                out_ref[k] = jnp.where(cnt > 0.0, p, 0.0).astype(
+                    out_dtype
+                )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[a_spec, b_spec]
+            + [a_top_spec(k) for k in range(K)]
+            + [a_bot_spec(k) for k in range(K)],
+            out_specs=pl.BlockSpec((K, tr, tc), lambda i, rc: (i, 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_struct((num_t, tr, tc), out_dtype, a),
+        )(rc, arr, b_op, *([a_top] * K), *([a_bot] * K))
+
+    a_tr = a_f.T  # [f, nct*tc]
     b_spec = pl.BlockSpec((tr, f), lambda i, rc: (rc[K * i] // cmod, 0))
 
     def at_spec(k):
@@ -202,7 +279,11 @@ def hybrid_sddmm(
     values).  ``tp`` is one TilePlan or a tuple (mixed bit/int8 parts);
     cell arrays parallel each part's ``a``.  Residual via the chunked slot
     gather (ops.spmm.sddmm_slots_chunked)."""
-    from gnn_computing_tpu.ops.spmm import sddmm_slots_chunked
+    from gnn_computing_tpu.ops.spmm import (
+        _SPMM_FUSE_ELEMS,
+        sddmm_slots_chunked,
+        sddmm_slots_xla,
+    )
 
     parts = tuple(
         p for p in (tp if isinstance(tp, (tuple, list)) else (tp,))
@@ -213,7 +294,17 @@ def hybrid_sddmm(
     )
     res = None
     if plan is not None and plan.num_edges:
-        res = sddmm_slots_chunked(plan, a, b, gather_dtype=gather_dtype)
+        # unchunked while the gathered volume fits XLA's fusion bound
+        # (measured: unchunked f32 37.5 ms vs chunked 75.8 at the reddit
+        # r256 residual — chunking is a fits-vs-fast fallback only)
+        f_pad = -(-max(a.shape[-1], 128) // 128) * 128
+        slots = plan.num_tasks_padded * plan.block_size
+        if slots * f_pad <= _SPMM_FUSE_ELEMS:
+            res = sddmm_slots_xla(plan, a, b, gather_dtype=gather_dtype)
+        else:
+            res = sddmm_slots_chunked(
+                plan, a, b, gather_dtype=gather_dtype
+            )
     return cells, res
 
 
