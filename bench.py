@@ -89,6 +89,23 @@ def _cache_dir():
     return d
 
 
+def _atomic_savez(path, **arrays):
+    """np.savez via tmp + rename: a build killed mid-write must never
+    leave a truncated npz behind — the build phase's cache audit takes
+    file EXISTENCE as proof of validity (see build_hybrid check_only),
+    so a partial file would poison every later timed phase."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _atomic_save(path, arr):
+    """np.save via tmp + rename (same torn-write hazard as _atomic_savez)."""
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache.
 
@@ -184,7 +201,7 @@ def build_graph(n, m, kind="rmat"):
     else:
         g = rmat_graph(n, m, seed=123, with_val=False)
     log(f"graph gen: {time.time() - t0:.1f}s  {g}")
-    np.savez(path, indptr=g.indptr, indices=g.indices)
+    _atomic_savez(path, indptr=g.indptr, indices=g.indices)
     return g
 
 
@@ -250,7 +267,7 @@ def build_gather(
     log(f"gather plan: {time.time() - t0:.1f}s  {plan.stats()}")
     if path:
         kw = {} if plan.val is None else {"val": plan.val}
-        np.savez(
+        _atomic_savez(
             path,
             src=plan.src,
             count=plan.count,
@@ -416,7 +433,7 @@ def build_hybrid(
     else:
         perm = degree_sort(g)
     if not os.path.exists(perm_path):
-        np.save(perm_path, perm)
+        _atomic_save(perm_path, perm)
     g2 = g.reorder(perm)
     log(f"{reorder} reorder: {time.time() - t0:.1f}s")
     t0 = time.time()
@@ -444,7 +461,7 @@ def build_hybrid(
         tile_kw.update(_save_tile(agg.tile, ""))
     if agg.tile_bits is not None:
         tile_kw.update(_save_tile(agg.tile_bits, "b_"))
-    np.savez(
+    _atomic_savez(
         path,
         **tile_kw,
         num_nodes=agg.num_nodes,
@@ -570,7 +587,7 @@ def add_transpose(agg, pack, cache_tag=None):
             a_kw.update(_save_tile(tile_b_t, "b_"))
         if plan_t.val is not None:
             a_kw["p_val"] = plan_t.val
-        np.savez(
+        _atomic_savez(
             tpath,
             **a_kw,
             edge_map=edge_map,
@@ -993,14 +1010,14 @@ def main():
         if args.phase == "build":
             if not os.path.exists(spath):
                 nbr = presample_fixed_neighbors(g(), k=SAGE_K, seed=2)
-                np.savez(spath, nbr=nbr)
+                _atomic_savez(spath, nbr=nbr)
             log("[bench] build phase done (sample cached)")
             return
         if os.path.exists(spath):
             nbr = np.load(spath)["nbr"]
         else:
             nbr = presample_fixed_neighbors(g(), k=SAGE_K, seed=2)
-            np.savez(spath, nbr=nbr)
+            _atomic_savez(spath, nbr=nbr)
         import jax
         import jax.numpy as jnp
 
