@@ -93,17 +93,38 @@ def _atomic_savez(path, **arrays):
     """np.savez via tmp + rename: a build killed mid-write must never
     leave a truncated npz behind — the build phase's cache audit takes
     file EXISTENCE as proof of validity (see build_hybrid check_only),
-    so a partial file would poison every later timed phase."""
-    tmp = path + ".tmp.npz"
+    so a partial file would poison every later timed phase.
+
+    The tmp name is per-writer (pid): two concurrent builds of the same
+    key must each rename only their OWN complete file — a shared tmp name
+    interleaves writes and os.replace publishes a corrupt npz."""
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)
 
 
 def _atomic_save(path, arr):
     """np.save via tmp + rename (same torn-write hazard as _atomic_savez)."""
-    tmp = path + ".tmp.npy"
+    tmp = f"{path}.tmp.{os.getpid()}.npy"
     np.save(tmp, arr)
     os.replace(tmp, path)
+
+
+def _sweep_tmp_stragglers(d):
+    """Delete orphaned multi-GB '*.tmp.*' files left by builds killed
+    between savez(tmp) and os.replace.  Safe: tmp files are never loaded;
+    skip any younger than an hour (a live concurrent writer)."""
+    import glob
+    import time as _time
+
+    for p in glob.glob(os.path.join(d, "*.tmp.*.np[yz]")) + glob.glob(
+        os.path.join(d, "*.tmp.np[yz]")
+    ):
+        try:
+            if _time.time() - os.path.getmtime(p) > 3600:
+                os.remove(p)
+        except OSError:
+            pass
 
 
 def _enable_compile_cache():
@@ -807,10 +828,14 @@ def main():
         "exact = f32 residual + split3 tiles everywhere.",
     )
     ap.add_argument(
-        "--gat-dot-mode", default="exact", choices=["exact", "default"],
+        "--gat-dot-mode", default="exact",
+        choices=["exact", "split2", "default"],
         help="GAT maxdot tile-kernel dot precision: exact (HIGHEST f32, "
-        "~6 MXU passes/tile) or default (1 bf16 pass — single-rounds the "
-        "score/h operands; measure vs the 1e-2 gate before promoting)",
+        "~6 MXU passes/tile), split2 (3 bf16 passes — hi/lo bf16 score "
+        "chunks against the 16-bit h residue pair, ~2^-16 relative: the "
+        "gate-passing twodot error class), or default (1 bf16 pass — "
+        "single-rounds the score/h operands, measured 2.2%% outside the "
+        "1e-2 gate at reddit scale; timing-only)",
     )
     ap.add_argument(
         "--input-dtype", default=None, choices=["f32", "bf16"],
@@ -846,6 +871,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        _sweep_tmp_stragglers(_cache_dir())
 
     if args.phase is None:
         import subprocess

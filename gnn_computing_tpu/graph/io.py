@@ -80,7 +80,12 @@ def load_graph(
         indptr = arr[: n + 1].astype(np.int32)
         indices = arr[n + 1 :].astype(np.int32)
         if use_cache:
-            np.savez(cache_path, indptr=indptr, indices=indices)
+            # tmp + rename: the cache check above takes file EXISTENCE as
+            # validity, so a loader killed mid-savez must never publish a
+            # truncated npz (same hazard class as bench.py's plan caches)
+            tmp = f"{cache_path}.tmp.{os.getpid()}.npz"
+            np.savez(tmp, indptr=indptr, indices=indices)
+            os.replace(tmp, cache_path)
 
     assert int(indptr[-1]) == m
     g = CSRGraph(indptr=indptr, indices=indices)

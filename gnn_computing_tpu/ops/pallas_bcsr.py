@@ -431,6 +431,12 @@ def gat_bcsr_pallas(
     rc = jnp.asarray(tp.tile_row) * cmod + jnp.asarray(tp.tile_col)
 
     K = pack if pack is not None else (getattr(tp, "pack", 1) or 1)
+    if mode == "maxdot" and dot_mode == "split2" and K > 8 and K % 8 == 0:
+        # Mosaic stack-allocates the temporaries of ALL K unrolled tile
+        # iterations; split2's extra per-k split chunks push K=16 to
+        # 18.9 MB > the 16 MB VMEM limit (measured).  K=8 fits; pad_runs
+        # multiples of 16 are valid at 8.
+        K = 8
     assert num_t % K == 0
     steps = num_t // K
 
@@ -492,6 +498,16 @@ def gat_bcsr_pallas(
         v12 = jnp.concatenate([v1b, v2b], axis=1)  # [nct, 2, tc]
         u12 = jnp.concatenate([u1, u2], axis=1)  # [nrt*tr, 2]
 
+        # dot_mode='split2': the h operand is the packed 16-mantissa-bit
+        # residue pair [tc, 2f] bf16 (exact to 2^-17, exactly the GCN
+        # dense default); same DMA bytes as the raw f32 block.
+        if dot_mode == "split2":
+            h_dot_op = jnp.concatenate(bf16_residue_chunks(hp, 2), axis=1)
+            h_dot_w = 2 * f
+        else:
+            h_dot_op = hp
+            h_dot_w = f
+
         def kernel(rc_ref, a_ref, u12_ref, *refs):
             v12_refs = refs[:K]
             h_refs = refs[K : 2 * K]
@@ -516,21 +532,54 @@ def gat_bcsr_pallas(
                 a_s = cnt * jnp.maximum(
                     v12_refs[k][0, 0], q * v12_refs[k][0, 1]
                 )
-                # dot_mode='default': ONE bf16 MXU pass instead of the
-                # exact form's ~6 (measured 152 vs 371 ns/tile) — both
-                # operands single-round to bf16; the denominator row-sum
-                # stays exact f32, so score rounding perturbs only the
-                # numerator weights (nonneg, non-cancelling in den).
-                accn += u1v * jnp.dot(
-                    a_s,
-                    h_refs[k][...],
-                    preferred_element_type=jnp.float32,
-                    precision=(
-                        lax.Precision.DEFAULT
-                        if dot_mode == "default"
-                        else lax.Precision.HIGHEST
-                    ),
-                )
+                if dot_mode == "split2":
+                    # asymmetric score-split: a_s = hi + lo + O(2^-17),
+                    # both chunks exact bf16.  hi multiplies the exact
+                    # [tc, 2f] h residue pair (2 bf16 MXU passes); lo —
+                    # already 2^-9 small — needs only the single-rounded
+                    # hi h chunk (1 pass).  3 bf16-dot units total vs the
+                    # HIGHEST f32 form's ~6 (measured 371 ns/tile), at
+                    # ~2^-16 relative error — the same class as the
+                    # gate-passing twodot split2 mode.
+                    # bf16 via explicit casts: lax.reduce_precision has
+                    # no Pallas TPU lowering, and Mosaic keeps explicit
+                    # converts (the astype-round-trip deletion is an XLA
+                    # HLO excess-precision pass, which never sees kernel
+                    # bodies) — correctness asserted on-chip by
+                    # probes/gat_dot_split2.py (a deleted round-trip
+                    # would put ~2.2% of elements outside the gate, the
+                    # measured dot_mode='default' signature).
+                    hi32 = a_s.astype(jnp.bfloat16).astype(jnp.float32)
+                    lo = (a_s - hi32).astype(jnp.bfloat16)
+                    hb = h_refs[k][...]
+                    p1 = jnp.dot(
+                        hi32.astype(jnp.bfloat16),  # exact (already bf16)
+                        hb,
+                        preferred_element_type=jnp.float32,
+                    )
+                    p2 = jnp.dot(
+                        lo,
+                        hb[:, :f],
+                        preferred_element_type=jnp.float32,
+                    )
+                    accn += u1v * (p1[:, :f] + p1[:, f:] + p2)
+                else:
+                    # dot_mode='default': ONE bf16 MXU pass instead of
+                    # the exact form's ~6 (measured 152 vs 371 ns/tile)
+                    # — both operands single-round to bf16; the
+                    # denominator row-sum stays exact f32, so score
+                    # rounding perturbs only the numerator weights
+                    # (nonneg, non-cancelling in den).
+                    accn += u1v * jnp.dot(
+                        a_s,
+                        h_refs[k][...],
+                        preferred_element_type=jnp.float32,
+                        precision=(
+                            lax.Precision.DEFAULT
+                            if dot_mode == "default"
+                            else lax.Precision.HIGHEST
+                        ),
+                    )
                 accd += u1v * jnp.sum(a_s, axis=1, keepdims=True)
             accn_ref[...] = accn
             accd_ref[...] = accd
@@ -542,7 +591,7 @@ def gat_bcsr_pallas(
 
         def hraw_spec(k):
             return pl.BlockSpec(
-                (tc, f), lambda i, rc: (rc[K * i + k] % cmod, 0)
+                (tc, h_dot_w), lambda i, rc: (rc[K * i + k] % cmod, 0)
             )
 
         def v12_spec(k):
@@ -566,7 +615,7 @@ def gat_bcsr_pallas(
         num, den = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape
         )(
-            rc, a, u12, *([v12] * K), *([hp] * K),
+            rc, a, u12, *([v12] * K), *([h_dot_op] * K),
         )
         return num[: tp.num_nodes], den[: tp.num_nodes, 0]
 

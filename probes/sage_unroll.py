@@ -33,7 +33,9 @@ if not os.path.exists(spath):
     nbr_np = presample_fixed_neighbors(g, k=K, seed=2)
     print(f"presample: {time.time() - t0:.1f}s", file=sys.stderr)
     os.makedirs(os.path.dirname(spath), exist_ok=True)
-    np.savez(spath, nbr=nbr_np)
+    from bench import _atomic_savez
+
+    _atomic_savez(spath, nbr=nbr_np)
 nbr = jnp.asarray(np.load(spath)["nbr"])
 x = jnp.asarray(normal_features(N, F, seed=3) * 0.1)
 params = init_lstm_params(jax.random.key(0), F, F)
