@@ -51,6 +51,13 @@ import numpy as np
 REDDIT_N, REDDIT_M = 232_965, 114_615_891
 # products: the reference's largest graph (util.py:33/:143)
 PRODUCTS_N, PRODUCTS_M = 2_449_029, 123_718_280
+# mid-size reference scales (VERDICT r4 #8: citation/ppa/protein rows).
+# Edge counts from util.py:24-34; protein vertices from util.py:88-143;
+# citation/ppa vertices are not in the reference's vertexdict — the OGB
+# dataset cards give 2,927,963 (ogbn-citation2) and 576,289 (ogbn-ppa).
+CITATION_N, CITATION_M = 2_927_963, 30_387_995
+PPA_N, PPA_M = 576_289, 42_463_862
+PROTEIN_N, PROTEIN_M = 132_534, 79_122_504
 BASELINE_EDGES_PER_S = 3 * REDDIT_M / 0.058089  # V100 GCN, draw_fig7.py:68
 BASELINE_GAT_EDGES_PER_S = 3 * REDDIT_M / 0.055538  # V100 GAT, draw_fig7.py:75
 SAGE_K = 16  # fixed-16-neighbor sampled graphs, run_our.sh:16-20
@@ -74,6 +81,36 @@ SCALE_BASELINES = {
         "gat": 3 * PRODUCTS_M / 0.113309,
         "sage": BASELINE_SAGE_EDGES_PER_S,
     },
+    # V100 "ours" times, draw_fig7.py:68/:75/:84 (columns citation/ppa/
+    # protein); SAGE edges = n*k
+    "citation": {
+        "gcn": 3 * CITATION_M / 0.068879,
+        "spmm": 3 * CITATION_M / 0.068879,
+        "sddmm": 3 * CITATION_M / 0.068879,
+        "gat": 3 * CITATION_M / 0.089002,
+        "sage": CITATION_N * SAGE_K / 0.178892,
+    },
+    "ppa": {
+        "gcn": 3 * PPA_M / 0.030635,
+        "spmm": 3 * PPA_M / 0.030635,
+        "sddmm": 3 * PPA_M / 0.030635,
+        "gat": 3 * PPA_M / 0.035884,
+        "sage": PPA_N * SAGE_K / 0.035739,
+    },
+    "protein": {
+        "gcn": 3 * PROTEIN_M / 0.035486,
+        "spmm": 3 * PROTEIN_M / 0.035486,
+        "sddmm": 3 * PROTEIN_M / 0.035486,
+        "gat": 3 * PROTEIN_M / 0.034986,
+        "sage": PROTEIN_N * SAGE_K / 0.008578,
+    },
+}
+SCALE_NM = {
+    "reddit": (REDDIT_N, REDDIT_M),
+    "products": (PRODUCTS_N, PRODUCTS_M),
+    "citation": (CITATION_N, CITATION_M),
+    "ppa": (PPA_N, PPA_M),
+    "protein": (PROTEIN_N, PROTEIN_M),
 }
 
 
@@ -304,9 +341,11 @@ def build_gather(
 
 def hybrid_tag(
     n, m, threshold, tile_rows, residual_block, tile_dtype, graph_kind,
-    reorder, bit_tiles=False,
+    reorder, bit_tiles=False, tile_cols=128,
 ):
     tag = f"hybrid_n{n}_m{m}_t{threshold}_r{tile_rows}_b{residual_block}"
+    if tile_cols != 128:
+        tag += f"_c{tile_cols}"
     if tile_dtype != "bf16":
         tag += f"_{tile_dtype}"
     if bit_tiles:
@@ -373,7 +412,7 @@ def _load_tile(z, prefix, num_nodes, n_src):
 def build_hybrid(
     g_fn, n, m, threshold, tile_rows, residual_block, tile_dtype="bf16",
     pack=8, reorder="degree", graph_kind="rmat", bit_tiles=False,
-    check_only=False,
+    check_only=False, tile_cols=128,
 ):
     """Reordered hybrid aggregator, disk-cached (the tile extraction
     is an O(m log m) host pass — the reference caches its preprocessing
@@ -390,7 +429,7 @@ def build_hybrid(
 
     tag = hybrid_tag(
         n, m, threshold, tile_rows, residual_block, tile_dtype,
-        graph_kind, reorder, bit_tiles,
+        graph_kind, reorder, bit_tiles, tile_cols,
     )
     path = os.path.join(_cache_dir(), tag + ".npz")
     if os.path.exists(path) and check_only:
@@ -464,6 +503,7 @@ def build_hybrid(
     agg = Aggregator.schedule_hybrid(
         g2,
         tile_rows=tile_rows,
+        tile_cols=tile_cols,
         threshold=threshold,
         residual_block=residual_block,
         tile_dtype=dt,  # exact: unweighted integer counts
@@ -662,6 +702,7 @@ def run_train(args, g, n, m):
     tag = hybrid_tag(
         n, m, args.threshold, args.tile_rows, args.residual_block,
         args.tile_dtype, args.graph, args.reorder, args.bit_tiles,
+        args.tile_cols,
     )
     # build-phase fast path: when every cache file already exists, an
     # exists-check is the whole job (never load GBs to prove it)
@@ -670,7 +711,7 @@ def run_train(args, g, n, m):
         g, n, m, args.threshold, args.tile_rows, args.residual_block,
         tile_dtype=args.tile_dtype, pack=args.pack,
         reorder=args.reorder, graph_kind=args.graph,
-        bit_tiles=args.bit_tiles,
+        bit_tiles=args.bit_tiles, tile_cols=args.tile_cols,
         check_only=(args.phase == "build" and not need_t),
     )
     if args.phase != "build" or need_t:
@@ -691,7 +732,8 @@ def run_train(args, g, n, m):
         # pass and passes the |z|~30 gate (tests/test_gat_stabilize.py).
         # The forward bench keeps the reference form for bench parity.
         fwd = lambda s, pp, hh: gat_forward(
-            s, pp, hh, fast=False, stabilize=True
+            s, pp, hh, fast=False, stabilize=True,
+            dot_mode=args.gat_dot_mode,
         )
     else:
         params = init_gcn_params(jax.random.key(0), BENCH_DIMS)
@@ -797,6 +839,17 @@ def main():
     # coverage 97.5 -> 98.8%, halving the residual wall (measured 148.2 ->
     # 123.7 ms GCN; R=1024/t32 ties at 125.3 — see PERF_NOTES session 8)
     ap.add_argument("--tile-rows", type=int, default=None)
+    ap.add_argument(
+        "--tile-cols", type=int, default=None,
+        help="hybrid tile width C (VERDICT r4 #2: the never-swept axis). "
+        "Wider tiles halve/quarter the grid-step count at constant A "
+        "bytes (fewer, larger operand DMAs) and RAISE coverage at the "
+        "area-equivalent threshold; scale --threshold with C/128.  "
+        "Default 128; training defaults to 256 (square [256, 256] tiles "
+        "transpose to the SAME geometry, so both the forward and the "
+        "backward A-streams keep 256-row H amortization and bit tiles "
+        "stay packed in both directions).",
+    )
     ap.add_argument("--tile-dtype", default="int8", choices=["bf16", "int8"])
     ap.add_argument(
         "--bit-tiles", default="auto", choices=["auto", "on", "off"],
@@ -828,6 +881,19 @@ def main():
         "exact = f32 residual + split3 tiles everywhere.",
     )
     ap.add_argument(
+        "--sddmm-dot-mode", default="split23",
+        choices=["exact", "split23", "split33"],
+        help="SDDMM tile-dot formulation (ops/bcsr_sddmm.py).  split23 "
+        "(default): 16-bit residue chunks, 4 bf16 passes in 2 packed "
+        "dots — measured 295 vs exact's 526 ns/tile, 0/3.3M bad "
+        "(probes/sddmm_split33.py); at the bench input scale its error "
+        "bound 2*2^-17*|a||b| ~ 2.4e-6 sits strictly under the gate's "
+        "1e-5 atol floor, so it cannot fail there.  exact = HIGHEST "
+        "(6 passes).  split33 = 3-chunk f32-grade via K-pad packing "
+        "(2 passes but 3x a-operand bytes — loses where the kernel is "
+        "output-byte-bound).",
+    )
+    ap.add_argument(
         "--gat-dot-mode", default="exact",
         choices=["exact", "split2", "default"],
         help="GAT maxdot tile-kernel dot precision: exact (HIGHEST f32, "
@@ -845,10 +911,14 @@ def main():
         "5 GB of the 16 GB HBM; reddit defaults to f32.",
     )
     ap.add_argument(
-        "--scale", default="reddit", choices=["reddit", "products"],
-        help="graph scale: reddit (232,965 v / 114.6M e, the headline) or "
+        "--scale", default="reddit",
+        choices=["reddit", "products", "citation", "ppa", "protein"],
+        help="graph scale: reddit (232,965 v / 114.6M e, the headline), "
         "products (2,449,029 v / 123.7M e — the reference's largest graph, "
-        "util.py:33/:143); baselines switch to the matching V100 column",
+        "util.py:33/:143), or the mid-size reference scales citation "
+        "(30.4M e), ppa (42.5M e), protein (132,534 v / 79.1M e — the "
+        "densest, mean degree 597); baselines switch to the matching "
+        "V100 column (draw_fig7.py:66-85)",
     )
     ap.add_argument("--iters", type=int, default=8)
     # internal two-phase harness (see module doc): None = orchestrate,
@@ -858,7 +928,10 @@ def main():
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
     args.bit_tiles = (
-        (args.tile_dtype == "int8" and args.scale == "products")
+        (
+            args.tile_dtype == "int8"
+            and (args.scale == "products" or args.train)
+        )
         if args.bit_tiles == "auto"
         else args.bit_tiles == "on"
     )
@@ -993,10 +1066,8 @@ def main():
         # --quick must not masquerade as the full-scale metric in the
         # capture log (a 4M-edge smoke labeled "reddit_scale" is a lie)
         args.scale_label = "quick"
-    elif args.scale == "products":
-        n, m = PRODUCTS_N, PRODUCTS_M
     else:
-        n, m = REDDIT_N, REDDIT_M
+        n, m = SCALE_NM[args.scale]
     baselines = SCALE_BASELINES[args.scale]
     if args.reorder is None:
         args.reorder = "hublpa" if args.graph == "community" else "degree"
@@ -1011,15 +1082,21 @@ def main():
         # BOTH the forward and transposed tile plans (A is 7.9 GB each at
         # r512 -> "Used 19.80G of 15.75G hbm"; r256 is 5+5 GB and fits).
         if args.threshold is None:
-            args.threshold = 24
+            # area-equivalent to the r256/c128 t24 ladder optimum
+            args.threshold = 48 if (args.tile_cols or 256) == 256 else 24
         if args.tile_rows is None:
             args.tile_rows = 256
+        if args.tile_cols is None:
+            args.tile_cols = 256
         if args.residual_block is None:
             args.residual_block = 4
         if args.pack is None:
             args.pack = 16
         run_train(args, g, n, m)
         return
+
+    if args.tile_cols is None:
+        args.tile_cols = 128
 
     if args.model == "sage":
         # SAGE-LSTM on the presampled fixed-16-neighbor graph
@@ -1105,7 +1182,8 @@ def main():
                 g, n, m, args.threshold, args.tile_rows,
                 args.residual_block, tile_dtype="int8", pack=args.pack,
                 reorder=args.reorder, graph_kind=args.graph,
-                bit_tiles=True, check_only=(args.phase == "build"),
+                bit_tiles=True, tile_cols=args.tile_cols,
+                check_only=(args.phase == "build"),
             )
             if args.phase == "build":
                 log("[bench] build phase done (hybrid plan cached)")
@@ -1120,6 +1198,7 @@ def main():
                 cells, res = hybrid_sddmm(
                     s.tile_parts(), s.plan if s.plan.num_edges else None,
                     aa, bb, gather_dtype=gdt,
+                    dot_mode=args.sddmm_dot_mode,
                 )
                 # fold one element of every output into the chained
                 # harness's carry so each part stays live (a full-array
@@ -1186,7 +1265,10 @@ def main():
     # SMEM scalar-prefetch ceiling (~260k tiles); the host cost model
     # (probes/products_plan_curve.py) picks r1024/t384 as the best plan
     # that fits — products is residual-gather-dominated at ANY geometry.
-    if args.scale == "products":
+    if args.scale in ("products", "citation", "ppa"):
+        # sparse scales (mean degree 50 / 10 / 74 vs reddit's 492) need
+        # much sparser tiling; citation/ppa inherit the products
+        # geometry (probes/scale_plan_curve.py refines per graph)
         if args.threshold is None:
             args.threshold = 384
         if args.tile_rows is None:
@@ -1197,6 +1279,12 @@ def main():
             # pack 4 keeps pad ~10% and the per-step floor is irrelevant
             # next to the residual wall
             args.pack = 4
+    if args.scale == "protein":
+        # densest reference graph (mean degree 597): nearly every
+        # [512, 128] window near the degree-sorted diagonal clears t24;
+        # t48 keeps the tile count under the SMEM prefetch ceiling
+        if args.threshold is None:
+            args.threshold = 48
     if args.threshold is None:
         args.threshold = 24
     if args.tile_rows is None:
@@ -1212,7 +1300,8 @@ def main():
             g, n, m, args.threshold, args.tile_rows, args.residual_block,
             tile_dtype=args.tile_dtype, pack=args.pack,
             reorder=args.reorder, graph_kind=args.graph,
-            bit_tiles=args.bit_tiles, check_only=chk,
+            bit_tiles=args.bit_tiles, tile_cols=args.tile_cols,
+            check_only=chk,
         )
     else:
         sched = build_gather(
@@ -1232,7 +1321,8 @@ def main():
             g, n, m, args.threshold2, args.tile_rows, args.residual_block,
             tile_dtype=args.tile_dtype, pack=args.pack,
             reorder=args.reorder, graph_kind=args.graph,
-            bit_tiles=args.bit_tiles, check_only=chk,
+            bit_tiles=args.bit_tiles, tile_cols=args.tile_cols,
+            check_only=chk,
         )
     if args.phase == "build":
         log("[bench] build phase done (plan cached)")
@@ -1295,7 +1385,11 @@ def main():
         )
     h = jnp.asarray(normal_features(n, BENCH_DIMS[0], seed=123) * 0.1)
     if args.input_dtype is None:
-        args.input_dtype = "bf16" if args.scale == "products" else "f32"
+        args.input_dtype = (
+            "bf16"
+            if args.scale in ("products", "citation", "ppa")
+            else "f32"
+        )
     if args.input_dtype == "bf16":
         h = h.astype(jnp.bfloat16)
         fwd0 = forward
@@ -1317,7 +1411,8 @@ def main():
             "model": args.model, "scale": args.scale,
             "graph": args.graph, "reorder": args.reorder,
             "threshold": args.threshold, "threshold2": args.threshold2,
-            "tile_rows": args.tile_rows, "strategy": args.strategy,
+            "tile_rows": args.tile_rows, "tile_cols": args.tile_cols,
+            "strategy": args.strategy,
             **(
                 {"gat_dot_mode": args.gat_dot_mode}
                 if args.model == "gat"

@@ -133,6 +133,41 @@ def main():
             args,
         )
 
+        # ---- 10b Pallas-epilogue row (the engineered O5 analog): hybrid
+        # dense tiles with the W GEMM fused into the kernel's run-final
+        # accumulator write vs the same hybrid schedule split in two.
+        from gnn_computing_tpu.aggregator import Aggregator
+        from gnn_computing_tpu.ops.fused_nn import hybrid_spmm_nn
+
+        sched = Aggregator.schedule_hybrid(
+            g, tile_rows=256, threshold=24, residual_block=4,
+            tile_dtype=__import__("numpy").int8, with_transpose=False,
+        )
+        if sched.tile_parts():
+            def split_h(x, s, ww):
+                agg = s.run(x)
+                return jnp.dot(
+                    agg, ww, precision=jax.lax.Precision.HIGHEST
+                )
+
+            r_split_h = benchmark_chained(
+                split_h, h, sched, w, iters=args.iters
+            )
+            r_fused_h = benchmark_chained(
+                lambda x, s, ww: hybrid_spmm_nn(s, x, ww)[1],
+                h, sched, w, iters=args.iters,
+            )
+            common.emit(
+                "fig10b_pallas",
+                dict(
+                    dataset=name,
+                    split_s=r_split_h.min_s,
+                    fused_s=r_fused_h.min_s,
+                    speedup=r_split_h.min_s / r_fused_h.min_s,
+                ),
+                args,
+            )
+
 
 if __name__ == "__main__":
     main()

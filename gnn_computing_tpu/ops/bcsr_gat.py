@@ -254,24 +254,28 @@ def gat_bwd_dh_das_xla(
     )
 
 
-def gat_bwd_dad(tp, h, gbar, c, u12, v12, relu_slope, strategy="auto"):
+def gat_bwd_dad(
+    tp, h, gbar, c, u12, v12, relu_slope, strategy="auto",
+    dot_mode="exact",
+):
     from gnn_computing_tpu.ops import pallas_bcsr
 
     if strategy in ("auto", "pallas") and pallas_bcsr.supported(tp, h):
         return pallas_bcsr.gat_bwd_dad_pallas(
-            tp, h, gbar, c, u12, v12, relu_slope
+            tp, h, gbar, c, u12, v12, relu_slope, dot_mode=dot_mode
         )
     return gat_bwd_dad_xla(tp, h, gbar, c, u12, v12, relu_slope)
 
 
 def gat_bwd_dh_das(
-    tp_t, h, gbar, c, u12, v12, relu_slope, strategy="auto"
+    tp_t, h, gbar, c, u12, v12, relu_slope, strategy="auto",
+    dot_mode="exact",
 ):
     from gnn_computing_tpu.ops import pallas_bcsr
 
     if strategy in ("auto", "pallas") and pallas_bcsr.supported(tp_t, h):
         return pallas_bcsr.gat_bwd_dh_das_pallas(
-            tp_t, h, gbar, c, u12, v12, relu_slope
+            tp_t, h, gbar, c, u12, v12, relu_slope, dot_mode=dot_mode
         )
     return gat_bwd_dh_das_xla(tp_t, h, gbar, c, u12, v12, relu_slope)
 
@@ -606,17 +610,22 @@ def _hybrid_gat_bwd(
     dh = jnp.zeros(h.shape, jnp.float32)
     d_ad = jnp.zeros(att.shape[0], jnp.float32)
     d_as = jnp.zeros(att.shape[0], jnp.float32)
+    # 'default' is a forward-only timing mode; gradients use the exact
+    # kernels there (split2 stays split2 — same 2^-16 error class as fwd)
+    bwd_dot = "split2" if dot_mode == "split2" else "exact"
     for p in parts:
         if p is None or not p.num_tiles:
             continue
         d_ad = d_ad + gat_bwd_dad(
-            p, h, gbar, c, u12, v12, relu_slope, strategy
+            p, h, gbar, c, u12, v12, relu_slope, strategy,
+            dot_mode=bwd_dot,
         )
     for p in parts_t:
         if p is None or not p.num_tiles:
             continue
         dht, dast = gat_bwd_dh_das(
-            p, h, gbar, c, u12, v12, relu_slope, strategy
+            p, h, gbar, c, u12, v12, relu_slope, strategy,
+            dot_mode=bwd_dot,
         )
         dh = dh + dht
         d_as = d_as + dast

@@ -123,6 +123,17 @@ def sddmm_bcsr_pallas(
         chunks intrinsically miss the strict 1e-2/1e-5 gate on ~1e-6 of
         cells (catastrophic cancellation near zero — numpy reproduces
         the same failures; a 3-dot variant dropping bl@al is worse).
+      'split33' — 3 bf16 residue chunks per operand (24 mantissa bits
+        each == f32-grade, the SpMM split3 accuracy class), exploiting
+        MXU K-dim padding: at f=32 the contraction depth pads 32 -> 128
+        anyway, so FOUR chunk cross-products ride ONE bf16 pass free.
+        The 6 significant terms (a1b1; a2b1/a1b2; a3b1/a2b2/a1b3 —
+        dropped terms are <= 2^-32 relative) pack into TWO dots:
+          dot1: [b1|b1|b1|b2] @ [a1;a2;a3;a1]
+          dot2: [b2|b3]       @ [a2;a1]
+        2 MXU passes vs HIGHEST's 6-at-4x-padding (measured-class ~255
+        ns/tile -> ~85): the f=32 SDDMM dot is pass-bound, not
+        byte-bound.  Needs 4f <= 128.
       'exact' (default) — single HIGHEST f32 dot, 0 bad elements.
     """
     from jax.experimental import pallas as pl
@@ -156,6 +167,63 @@ def sddmm_bcsr_pallas(
 
     a_rows = tr // 8 if tp.bits else tr
     a_spec = pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
+
+    if dot_mode == "split33":
+        assert 4 * f <= 128, "split33 needs 4f <= 128 (K-pad packing)"
+        b1, b2, b3 = bf16_residue_chunks(b_f, 3)
+        a1, a2, a3 = bf16_residue_chunks(a_f, 3)
+        b_op1 = jnp.concatenate([b1, b1, b1, b2], axis=1)  # [rows, 4f]
+        b_op2 = jnp.concatenate([b2, b3], axis=1)  # [rows, 2f]
+        a_op1 = jnp.concatenate(
+            [a1.T, a2.T, a3.T, a1.T], axis=0
+        )  # [4f, cols]
+        a_op2 = jnp.concatenate([a2.T, a1.T], axis=0)  # [2f, cols]
+
+        def b_spec_w(w):
+            return pl.BlockSpec(
+                (tr, w), lambda i, rc: (rc[K * i] // cmod, 0)
+            )
+
+        def a_spec_w(w, k):
+            return pl.BlockSpec(
+                (w, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
+            )
+
+        def kernel(rc_ref, a_ref, b1_ref, b2_ref, *refs):
+            a1_refs = refs[:K]
+            a2_refs = refs[K : 2 * K]
+            out_ref = refs[2 * K]
+            for k in range(K):
+                if tp.bits:
+                    cnt = decode_bit_tile(a_ref[k], jnp.float32)
+                else:
+                    cnt = a_ref[k].astype(jnp.float32)
+                p = jnp.dot(
+                    b1_ref[...],
+                    a1_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                ) + jnp.dot(
+                    b2_ref[...],
+                    a2_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                )
+                out_ref[k] = jnp.where(cnt > 0.0, p, 0.0).astype(
+                    out_dtype
+                )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[a_spec, b_spec_w(4 * f), b_spec_w(2 * f)]
+            + [a_spec_w(4 * f, k) for k in range(K)]
+            + [a_spec_w(2 * f, k) for k in range(K)],
+            out_specs=pl.BlockSpec((K, tr, tc), lambda i, rc: (i, 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_struct((num_t, tr, tc), out_dtype, a),
+        )(rc, arr, b_op1, b_op2, *([a_op1] * K), *([a_op2] * K))
 
     if dot_mode == "split23":
         bh, bl = bf16_residue_chunks(b_f, 2)
@@ -258,11 +326,16 @@ def sddmm_bcsr(
     b: jnp.ndarray,
     strategy: str = "auto",
     out_dtype=jnp.bfloat16,
+    dot_mode: str = "exact",
 ) -> jnp.ndarray:
     from gnn_computing_tpu.ops import pallas_bcsr
 
     if strategy in ("auto", "pallas") and pallas_bcsr.supported(tp, a):
-        return sddmm_bcsr_pallas(tp, a, b, out_dtype=out_dtype)
+        if dot_mode == "split33" and 4 * a.shape[-1] > 128:
+            dot_mode = "exact"
+        return sddmm_bcsr_pallas(
+            tp, a, b, out_dtype=out_dtype, dot_mode=dot_mode
+        )
     return sddmm_bcsr_xla(tp, a, b, out_dtype=out_dtype)
 
 
@@ -274,6 +347,7 @@ def hybrid_sddmm(
     strategy: str = "auto",
     gather_dtype=None,
     out_dtype=jnp.bfloat16,
+    dot_mode: str = "exact",
 ) -> Tuple[tuple, Optional[jnp.ndarray]]:
     """SDDMM over a hybrid schedule: (per-part cell values, residual slot
     values).  ``tp`` is one TilePlan or a tuple (mixed bit/int8 parts);
@@ -290,7 +364,10 @@ def hybrid_sddmm(
         if p is not None and p.num_tiles
     )
     cells = tuple(
-        sddmm_bcsr(p, a, b, strategy, out_dtype=out_dtype) for p in parts
+        sddmm_bcsr(
+            p, a, b, strategy, out_dtype=out_dtype, dot_mode=dot_mode
+        )
+        for p in parts
     )
     res = None
     if plan is not None and plan.num_edges:

@@ -36,3 +36,48 @@ def spmm_nn(
     agg = spmm(plan, h, val=val, strategy=strategy)
     # HIGHEST: TPU DEFAULT dot = bf16 single pass, fails the 1e-2 gate
     return agg, jnp.dot(agg, w, precision=jax.lax.Precision.HIGHEST)
+
+
+def hybrid_spmm_nn(
+    sched,
+    h: jnp.ndarray,
+    w: jnp.ndarray,
+    tile_h_mode: str = "auto",
+    residual_gather_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused aggregate+GEMM over a hybrid Aggregator: the dense parts run
+    the Pallas kernel with the W epilogue (one HIGHEST dot on the
+    VMEM-resident run accumulator — the engineered analog of the
+    reference's in-kernel shared-memory W, aggr_gcn.h:304-359); the
+    residual part aggregates then transforms, and the partial transforms
+    sum (matmul distributes over the partial aggregates).  Returns the
+    reference's (vout, transformed) pair."""
+    from gnn_computing_tpu.ops import pallas_bcsr
+    from gnn_computing_tpu.ops.bcsr import bcsr_spmm
+    from gnn_computing_tpu.ops.spmm import spmm_xla
+
+    agg = None
+    trans = None
+
+    def acc(a_p, t_p):
+        nonlocal agg, trans
+        agg = a_p if agg is None else agg + a_p
+        trans = t_p if trans is None else trans + t_p
+
+    for p in sched.tile_parts():
+        if pallas_bcsr.supported(p, h):
+            a_p, t_p = pallas_bcsr.bcsr_spmm_pallas(
+                p, h, h_mode=tile_h_mode, w_epilogue=w
+            )
+        else:  # portable fallback: split form on this part
+            a_p = bcsr_spmm(p, h, h_mode=tile_h_mode)
+            t_p = jnp.dot(
+                a_p, w, precision=jax.lax.Precision.HIGHEST
+            )
+        acc(a_p.astype(h.dtype), t_p)
+    if sched.plan is not None and sched.plan.num_edges:
+        r = spmm_xla(
+            sched.plan, h, gather_dtype=residual_gather_dtype
+        )
+        acc(r, jnp.dot(r, w, precision=jax.lax.Precision.HIGHEST))
+    return agg, trans

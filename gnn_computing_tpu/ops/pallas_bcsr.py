@@ -143,6 +143,22 @@ def supported_rowmax(tp: TilePlan) -> bool:
     )
 
 
+def cap_pack(K: int, tr: int, tc: int, cell_budget: int) -> int:
+    """Clamp tiles-per-grid-step by the Mosaic VMEM *stack* budget.
+
+    Mosaic stack-allocates the temporaries of every unrolled tile
+    iteration simultaneously, so a kernel's working set scales with
+    K * tr * tc cells; ``cell_budget`` is the largest K*tr*tc measured
+    to fit for the kernel's per-tile temp footprint (e.g. GAT split2 at
+    K=16 [512, 128] tiles measured 18.9 MB > the 16 MB limit; K=8 fits
+    => budget 8*512*128).  The result still divides any pad_runs(8/16)
+    run length (kept a divisor of K)."""
+    k = min(K, max(1, cell_budget // (tr * tc)))
+    while K % k:
+        k -= 1
+    return max(k, 1)
+
+
 def detect_pack(tile_row, candidates=(8, 4, 2)) -> int:
     """Largest K for which every tile-row run's length is a multiple of K
     (i.e. the plan went through TilePlan.pad_runs(K)); 1 otherwise."""
@@ -166,8 +182,18 @@ def bcsr_spmm_pallas(
     precision=lax.Precision.HIGHEST,
     h_mode: str = "auto",
     pack: int = None,
+    w_epilogue: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """h_mode:
+    """w_epilogue: optional [f, f_out] dense weight applied to the
+    run-final accumulator tile IN KERNEL (one HIGHEST dot per tile-row
+    run, on the VMEM-resident [tr, f] accumulator) — the honest analog of
+    the reference's fused aggregate+GEMM (aggr_gcn_nn stages W in shared
+    memory inside the aggregation kernel, aggr_gcn.h:304-359).  Returns
+    (aggregated, transformed) instead of just aggregated; requires an
+    unfactored plan (scale_dst would have to apply between the
+    accumulation and the GEMM).
+
+    h_mode:
       'auto'   — 'split3' for f32 h with bf16 tiles, else 'native'.
       'split'  — h decomposed into 2 bf16 residue chunks (16 mantissa
                  bits); exact bf16 MXU dots summed in f32.  Fast but can
@@ -218,6 +244,8 @@ def bcsr_spmm_pallas(
         pack = getattr(tp, "pack", 1) or 1
         if pack == 1 and isinstance(tp.tile_row, np.ndarray):
             pack = detect_pack(tp.tile_row)
+    # K=16 at [512, 128] measured fine for this kernel's temp footprint
+    pack = cap_pack(pack, tr, tc, 16 * 512 * 128)
     assert num_t % pack == 0
 
     if h_mode in ("split", "split3"):
@@ -253,10 +281,18 @@ def bcsr_spmm_pallas(
     # guaranteed by TilePlan.pad_runs) process per grid step: the ~180-300ns
     # per-step fixed cost amortizes K-fold (measured: 454 -> 175 ns/tile at
     # K=8, PERF_NOTES.md).
+    f_out = None if w_epilogue is None else w_epilogue.shape[-1]
+
     def kernel(rc_ref, a_ref, *refs):
         h_refs = refs[:K]
-        o_ref = refs[K]
-        acc_ref = refs[K + 1]
+        if w_epilogue is None:
+            o_ref = refs[K]
+            acc_ref = refs[K + 1]
+        else:
+            w_ref = refs[K]
+            o_ref = refs[K + 1]
+            ot_ref = refs[K + 2]
+            acc_ref = refs[K + 3]
         i = pl.program_id(0)
         first = (i == 0) | (
             rc_ref[K * i] // cmod
@@ -303,29 +339,67 @@ def bcsr_spmm_pallas(
         @pl.when(last)
         def _write():
             o_ref[...] = acc_ref[...]
+            if w_epilogue is not None:
+                # the fused-GEMM epilogue: transform the VMEM-resident
+                # run accumulator before it ever reaches HBM (reference
+                # aggr_gcn_nn's shared-memory W, aggr_gcn.h:304-359)
+                ot_ref[...] = jnp.dot(
+                    acc_ref[...],
+                    w_ref[...],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
 
     def h_index(k):
         return lambda i, rc: (rc[K * i + k] % cmod, 0)
 
     a_rows = tr // 8 if tp.bits else tr
+    w_specs = []
+    w_args = []
+    out_spec = pl.BlockSpec((tr, f), lambda i, rc: (rc[K * i] // cmod, 0))
+    out_specs = out_spec
+    out_shapes = out_struct((nrt * tr, f), jnp.float32, h)
+    if w_epilogue is not None:
+        assert tp.scale_dst is None, (
+            "w_epilogue needs an unfactored plan (scale_dst applies "
+            "between accumulation and the GEMM)"
+        )
+        w_specs = [pl.BlockSpec((f, f_out), lambda i, rc: (0, 0))]
+        w_args = [w_epilogue.astype(jnp.float32)]
+        out_specs = [
+            out_spec,
+            pl.BlockSpec(
+                (tr, f_out), lambda i, rc: (rc[K * i] // cmod, 0)
+            ),
+        ]
+        out_shapes = [
+            out_shapes,
+            out_struct((nrt * tr, f_out), jnp.float32, h),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
         ]
-        + [pl.BlockSpec((tc, w), h_index(k)) for k in range(K)],
-        out_specs=pl.BlockSpec(
-            (tr, f), lambda i, rc: (rc[K * i] // cmod, 0)
-        ),
+        + [pl.BlockSpec((tc, w), h_index(k)) for k in range(K)]
+        + w_specs,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((tr, f), jnp.float32)],
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_struct((nrt * tr, f), jnp.float32, h),
-    )(rc, a, *([h_op] * K))
+        out_shape=out_shapes,
+    )(rc, a, *([h_op] * K), *w_args)
+    if w_epilogue is not None:
+        agg, tr_out = out
+        agg = agg[: tp.num_nodes]
+        if tp.scale_src is not None:
+            # scale_src folded into h above — consistent for both outputs
+            pass
+        return agg.astype(out_dtype), tr_out[: tp.num_nodes]
     out = out[: tp.num_nodes]
     if tp.scale_dst is not None:
         out = out * jnp.asarray(tp.scale_dst)[:, None]
@@ -431,12 +505,14 @@ def gat_bcsr_pallas(
     rc = jnp.asarray(tp.tile_row) * cmod + jnp.asarray(tp.tile_col)
 
     K = pack if pack is not None else (getattr(tp, "pack", 1) or 1)
-    if mode == "maxdot" and dot_mode == "split2" and K > 8 and K % 8 == 0:
-        # Mosaic stack-allocates the temporaries of ALL K unrolled tile
-        # iterations; split2's extra per-k split chunks push K=16 to
-        # 18.9 MB > the 16 MB VMEM limit (measured).  K=8 fits; pad_runs
-        # multiples of 16 are valid at 8.
-        K = 8
+    # Mosaic stack-allocates the temporaries of ALL K unrolled tile
+    # iterations; split2's extra per-k split chunks push K=16 @ [512,128]
+    # to 18.9 MB > the 16 MB VMEM limit (measured); K=8 fits.  The other
+    # modes fit at 16.
+    K = cap_pack(
+        K, tr, tc,
+        8 * 512 * 128 if dot_mode == "split2" else 16 * 512 * 128,
+    )
     assert num_t % K == 0
     steps = num_t // K
 
@@ -773,6 +849,7 @@ def gat_bwd_dad_pallas(
     v12: jnp.ndarray,
     relu_slope: float,
     pack: int = None,
+    dot_mode: str = "exact",
 ):
     """d_att_dst of the dense-tile GAT edges, streamed over the FORWARD
     plan (row-run output residency like every aggregation kernel).
@@ -811,7 +888,18 @@ def gat_bwd_dad_pallas(
         .reshape(nct, tc, 2)
         .transpose(0, 2, 1)
     )
-    ht = pad_to(h.astype(jnp.float32), nct * tc).T  # [f, nct*tc]
+    if dot_mode == "split2":
+        # 16-bit residue pairs for both <gbar, h> SDDMM operands: the
+        # exact-to-2^-17 product is 3 bf16 dots (g1t1 + g2t1 + g1t2;
+        # the dropped g2t2 term is 2^-18) vs HIGHEST's ~6 passes.  Same
+        # DMA bytes as the f32 forms.
+        gb = jnp.concatenate(bf16_residue_chunks(gb, 2), axis=1)
+        hc = bf16_residue_chunks(
+            pad_to(h.astype(jnp.float32), nct * tc), 2
+        )
+        ht = jnp.concatenate([hc[0].T, hc[1].T], axis=0)  # [2f, nct*tc]
+    else:
+        ht = pad_to(h.astype(jnp.float32), nct * tc).T  # [f, nct*tc]
 
     a = jnp.asarray(tp.a)
     num_t = a.shape[0]
@@ -820,6 +908,12 @@ def gat_bwd_dad_pallas(
     rc = jnp.asarray(tp.tile_row) * cmod + jnp.asarray(tp.tile_col)
 
     K = pack if pack is not None else (getattr(tp, "pack", 1) or 1)
+    # measured fit: K=16 over the r256/c128 training plans (see cap_pack);
+    # split2 carries extra per-k chunk temps -> half budget
+    K = cap_pack(
+        K, tr, tc,
+        8 * 256 * 128 if dot_mode == "split2" else 16 * 256 * 128,
+    )
     assert num_t % K == 0
     steps = num_t // K
 
@@ -843,9 +937,11 @@ def gat_bwd_dad_pallas(
             (1, 2, tc), lambda i, rc: (rc[K * i + k] % cmod, 0, 0)
         )
 
+    fw = 2 * f if dot_mode == "split2" else f
+
     def ht_spec(k):
         return pl.BlockSpec(
-            (f, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
+            (fw, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
         )
 
     def kernel(rc_ref, a_ref, u12_ref, c_ref, gbar_ref, *refs):
@@ -873,12 +969,24 @@ def gat_bwd_dad_pallas(
             # unbounded branch exponentials at wide logits (0*inf=NaN)
             s = jnp.where(cnt > 0.0, cnt * jnp.maximum(b1, b2), 0.0)
             lp = jnp.where(b1 >= b2, 1.0, relu_slope)
-            p = jnp.dot(
-                gbar_ref[...],
-                ht_refs[k][...],
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
+            if dot_mode == "split2":
+                g12 = gbar_ref[...]
+                t12 = ht_refs[k][...]
+                dk = lambda a_, b_: jnp.dot(
+                    a_, b_, preferred_element_type=jnp.float32
+                )
+                p = (
+                    dk(g12[:, :f], t12[:f])
+                    + dk(g12[:, f:], t12[:f])
+                    + dk(g12[:, :f], t12[f:])
+                )
+            else:
+                p = jnp.dot(
+                    gbar_ref[...],
+                    ht_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
             t = lp * s * (p - c_ref[...])
             acc += jnp.sum(t, axis=1, keepdims=True)
         acc_ref[...] = acc
@@ -894,7 +1002,7 @@ def gat_bwd_dad_pallas(
             a_spec,
             pl.BlockSpec((tr, 2), rowb),
             pl.BlockSpec((tr, 1), rowb),
-            pl.BlockSpec((tr, f), rowb),
+            pl.BlockSpec((tr, fw), rowb),
         ]
         + [v12_spec(k) for k in range(K)]
         + [ht_spec(k) for k in range(K)],
@@ -917,6 +1025,7 @@ def gat_bwd_dh_das_pallas(
     v12: jnp.ndarray,
     relu_slope: float,
     pack: int = None,
+    dot_mode: str = "exact",
 ):
     """(dh, d_att_src) of the dense-tile GAT edges, streamed over the
     TRANSPOSED plan (rows = source nodes, so both outputs accumulate in
@@ -953,7 +1062,16 @@ def gat_bwd_dh_das_pallas(
         nct, 1, tc
     )
     gb = pad_to(gbar.astype(jnp.float32), nct * tc)
-    gbt = gb.T  # [f, nct*tc]
+    if dot_mode == "split2":
+        # 16-bit residue operands (see gat_bwd_dad_pallas): the s@gbar
+        # dot becomes the forward kernel's asymmetric score split (3 bf16
+        # units) and the h@gbarT SDDMM becomes the 3-term chunk product.
+        gc = bf16_residue_chunks(gb, 2)
+        gb = jnp.concatenate(gc, axis=1)  # [nct*tc, 2f] bf16
+        gbt = jnp.concatenate([gc[0].T, gc[1].T], axis=0)  # [2f, nct*tc]
+        hp = jnp.concatenate(bf16_residue_chunks(hp, 2), axis=1)
+    else:
+        gbt = gb.T  # [f, nct*tc]
 
     a = jnp.asarray(tp_t.a)
     num_t = a.shape[0]
@@ -962,6 +1080,12 @@ def gat_bwd_dh_das_pallas(
     rc = jnp.asarray(tp_t.tile_row) * cmod + jnp.asarray(tp_t.tile_col)
 
     K = pack if pack is not None else (getattr(tp_t, "pack", 1) or 1)
+    # measured fit: K=16 over the r128/c256 transposed training plans;
+    # split2 carries extra per-k chunk temps -> half budget
+    K = cap_pack(
+        K, tr, tc,
+        8 * 256 * 128 if dot_mode == "split2" else 16 * 256 * 128,
+    )
     assert num_t % K == 0
     steps = num_t // K
 
@@ -980,6 +1104,8 @@ def gat_bwd_dh_das_pallas(
     a_spec = pl.BlockSpec((K, a_rows, tc), lambda i, rc: (i, 0, 0))
     rowb = lambda i, rc: (rc[K * i] // cmod, 0)
 
+    fw = 2 * f if dot_mode == "split2" else f
+
     def colb3(k, shape):
         return pl.BlockSpec(
             shape, lambda i, rc: (rc[K * i + k] % cmod, 0, 0)
@@ -987,12 +1113,12 @@ def gat_bwd_dh_das_pallas(
 
     def gbar_spec(k):
         return pl.BlockSpec(
-            (tc, f), lambda i, rc: (rc[K * i + k] % cmod, 0)
+            (tc, fw), lambda i, rc: (rc[K * i + k] % cmod, 0)
         )
 
     def gbt_spec(k):
         return pl.BlockSpec(
-            (f, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
+            (fw, tc), lambda i, rc: (0, rc[K * i + k] % cmod)
         )
 
     def kernel(rc_ref, a_ref, v12_ref, h_ref, *refs):
@@ -1023,18 +1149,35 @@ def gat_bwd_dh_das_pallas(
             # cnt mask before multiply (0 * inf = NaN at non-edge cells)
             s = jnp.where(cnt > 0.0, cnt * jnp.maximum(b1, b2), 0.0)
             lp = jnp.where(b1 >= b2, 1.0, relu_slope)
-            acch += jnp.dot(
-                s,
-                gbar_refs[k][...],
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
-            p = jnp.dot(
-                h_ref[...],
-                gbt_refs[k][...],
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
+            if dot_mode == "split2":
+                dk = lambda a_, b_: jnp.dot(
+                    a_, b_, preferred_element_type=jnp.float32
+                )
+                s_hi32 = s.astype(jnp.bfloat16).astype(jnp.float32)
+                s_lo = (s - s_hi32).astype(jnp.bfloat16)
+                g12 = gbar_refs[k][...]  # [tc, 2f] bf16
+                ph = dk(s_hi32.astype(jnp.bfloat16), g12)
+                acch += ph[:, :f] + ph[:, f:] + dk(s_lo, g12[:, :f])
+                h12 = h_ref[...]  # [tr, 2f] bf16
+                t12 = gbt_refs[k][...]  # [2f, tc] bf16
+                p = (
+                    dk(h12[:, :f], t12[:f])
+                    + dk(h12[:, f:], t12[:f])
+                    + dk(h12[:, :f], t12[f:])
+                )
+            else:
+                acch += jnp.dot(
+                    s,
+                    gbar_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+                p = jnp.dot(
+                    h_ref[...],
+                    gbt_refs[k][...],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
             t = lp * s * (p - c_refs[k][0])
             accs += jnp.sum(t, axis=1, keepdims=True)
         acch_ref[...] = acch
@@ -1051,7 +1194,7 @@ def gat_bwd_dh_das_pallas(
         in_specs=[
             a_spec,
             pl.BlockSpec((tr, 2), rowb),
-            pl.BlockSpec((tr, f), rowb),
+            pl.BlockSpec((tr, fw), rowb),
         ]
         + [colb3(k, (1, 2, tc)) for k in range(K)]
         + [colb3(k, (1, 1, tc)) for k in range(K)]

@@ -44,7 +44,7 @@ from gnn_computing_tpu.schedule.tiles import TilePlan, densify, split_bit_tiles
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "row", "col"],
-    meta_fields=["tile_rows", "tile_cols", "pack", "bits"],
+    meta_fields=["tile_rows", "tile_cols", "pack", "bits", "local"],
 )
 @dataclasses.dataclass
 class TileGroup:
@@ -65,11 +65,20 @@ class TileGroup:
     tile_cols: int
     pack: int
     bits: bool
+    # local=True: every tile's source columns lie in the owner's OWN
+    # row shard — the kernel reads h_local (col indices shard-rebased)
+    # with NO data dependence on the all-gather, so the halo exchange
+    # overlaps this group's compute (the BASELINE.json north-star
+    # schedule: [start halo] || [aggregate local] -> [aggregate halo])
+    local: bool = False
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["groups", "rsrc", "rcnt", "rdst", "rval"],
+    data_fields=[
+        "groups", "rsrc", "rcnt", "rdst", "rval",
+        "lsrc", "lcnt", "ldst", "lval",
+    ],
     meta_fields=[
         "num_devices",
         "shard_size",
@@ -85,6 +94,10 @@ class AllGatherHybrid:
 
     rsrc: int32[D, NT*B] flat slot sources (GLOBAL ids); rval f32 same
     shape (0 in pad slots); rcnt/rdst int32[D, NT] (dst LOCAL).
+    lsrc/lcnt/ldst/lval: same layout for the LOCAL residual tasks (every
+    source in the destination's own shard, sources shard-rebased) —
+    present when the plan was built with local_split; these read h_local
+    and overlap the all-gather like the local tile groups.
     """
 
     groups: Tuple[TileGroup, ...]
@@ -98,6 +111,10 @@ class AllGatherHybrid:
     block_size: int
     num_edges: int
     num_res_edges: int
+    lsrc: Optional[np.ndarray] = None
+    lcnt: Optional[np.ndarray] = None
+    ldst: Optional[np.ndarray] = None
+    lval: Optional[np.ndarray] = None
 
     def device_put(self, sharding=None) -> "AllGatherHybrid":
         put = (
@@ -117,6 +134,10 @@ class AllGatherHybrid:
             rcnt=put(self.rcnt),
             rdst=put(self.rdst),
             rval=put(self.rval),
+            lsrc=None if self.lsrc is None else put(self.lsrc),
+            lcnt=None if self.lcnt is None else put(self.lcnt),
+            ldst=None if self.ldst is None else put(self.ldst),
+            lval=None if self.lval is None else put(self.lval),
         )
 
     def stats(self) -> dict:
@@ -125,12 +146,18 @@ class AllGatherHybrid:
             "groups": [
                 {
                     "bits": g.bits,
+                    "local": g.local,
                     "tiles_per_owner": int(g.a.shape[1]),
                     "a_bytes": int(np.asarray(g.a).nbytes),
                 }
                 for g in self.groups
             ],
             "res_tasks_per_owner": int(np.asarray(self.rcnt).shape[1]),
+            "local_res_tasks_per_owner": (
+                None
+                if self.lcnt is None
+                else int(np.asarray(self.lcnt).shape[1])
+            ),
             "num_res_edges": int(self.num_res_edges),
         }
 
@@ -205,10 +232,19 @@ def build_allgather_hybrid(
     bit_tiles: bool = True,
     pack: int = 8,
     val: Optional[np.ndarray] = None,
+    local_split: bool = True,
 ) -> Tuple[AllGatherHybrid, CSRGraph]:
     """(sharded hybrid plan, padded graph).  The graph pads so every shard
     is whole tiles; tiles bucket per owner (vectorized argsort split, no
-    d^2 Python loop); residual NG tasks bucket by destination shard."""
+    d^2 Python loop); residual NG tasks bucket by destination shard.
+
+    local_split (default on): additionally partition each owner's tiles
+    and residual tasks into LOCAL work (all sources inside the owner's
+    own H shard — computed from h_local, independent of the collective)
+    and HALO work (needs the gathered buffer).  This is the north-star
+    overlap schedule: XLA is free to run the all-gather concurrently
+    with the local groups because nothing in them consumes its result
+    (see probes/overlap_evidence.py for the compiled-schedule proof)."""
     d = num_devices
     if val is None and g.val is not None:
         val = g.val
@@ -242,20 +278,54 @@ def build_allgather_hybrid(
             parts.append(int_p)
     else:
         parts.append(tp)
+    nrt_local = ns // tile_rows
+    nct_local = ns // tile_cols
+
+    def _split_local(p: TilePlan):
+        """(local part with shard-rebased cols, halo part)."""
+        rows = np.asarray(p.tile_row)[: p.num_tiles]
+        cols = np.asarray(p.tile_col)[: p.num_tiles]
+        owner = rows // nrt_local
+        is_local = (cols // nct_local) == owner
+        out = []
+        for sel, loc in (
+            (np.flatnonzero(is_local), True),
+            (np.flatnonzero(~is_local), False),
+        ):
+            cc = cols[sel]
+            if loc:
+                cc = cc - owner[sel] * nct_local
+            out.append(
+                (
+                    dataclasses.replace(
+                        p,
+                        a=np.asarray(p.a)[sel],
+                        tile_row=rows[sel],
+                        tile_col=cc.astype(np.int32),
+                        num_tiles=len(sel),
+                    ),
+                    loc,
+                )
+            )
+        return out
+
     groups = []
     for p in parts:
-        a, row, col = _bucket_tiles_by_owner(p, d, ns, pack)
-        groups.append(
-            TileGroup(
-                a=a,
-                row=row,
-                col=col,
-                tile_rows=tile_rows,
-                tile_cols=tile_cols,
-                pack=pack,
-                bits=p.bits,
+        split = _split_local(p) if local_split else [(p, False)]
+        for sub, loc in split:
+            a, row, col = _bucket_tiles_by_owner(sub, d, ns, pack)
+            groups.append(
+                TileGroup(
+                    a=a,
+                    row=row,
+                    col=col,
+                    tile_rows=tile_rows,
+                    tile_cols=tile_cols,
+                    pack=pack,
+                    bits=p.bits,
+                    local=loc,
+                )
             )
-        )
 
     # residual: NG tasks sorted by dst -> contiguous owner ranges
     rp = make_plan(res, Schedule.neighbor_grouping, block_size=residual_block)
@@ -271,32 +341,63 @@ def build_allgather_hybrid(
         ).astype(np.float32)
     )
     bounds = np.searchsorted(dst, np.arange(d + 1) * ns)
-    nt_max = max(int(np.diff(bounds).max()), 1)
     b = rp.block_size
-    rsrc = np.zeros((d, nt_max, b), np.int32)
-    rval = np.zeros((d, nt_max, b), np.float32)
-    rcnt = np.zeros((d, nt_max), np.int32)
-    rdst = np.zeros((d, nt_max), np.int32)
-    for dev in range(d):
-        lo, hi = bounds[dev], bounds[dev + 1]
-        k = hi - lo
-        rsrc[dev, :k] = src[lo:hi]
-        rval[dev, :k] = v[lo:hi]
-        rcnt[dev, :k] = cnt[lo:hi]
-        rdst[dev, :k] = (dst[lo:hi] - dev * ns).astype(np.int32)
+    # task locality: every VALID slot's source in the destination's shard
+    slot_valid = np.arange(b)[None, :] < cnt[:, None]
+    task_owner = dst // ns
+    src_local = (src // ns) == task_owner[:, None]
+    task_is_local = np.logical_or(src_local, ~slot_valid).all(axis=1)
+
+    def _bucket_res(keep_mask, rebase):
+        nt_max = 1
+        picks = []
+        for dev in range(d):
+            lo, hi = bounds[dev], bounds[dev + 1]
+            sel = np.flatnonzero(keep_mask[lo:hi]) + lo
+            picks.append(sel)
+            nt_max = max(nt_max, len(sel))
+        s = np.zeros((d, nt_max, b), np.int32)
+        vv = np.zeros((d, nt_max, b), np.float32)
+        c = np.zeros((d, nt_max), np.int32)
+        dd = np.zeros((d, nt_max), np.int32)
+        for dev, sel in enumerate(picks):
+            k = len(sel)
+            ss = src[sel]
+            if rebase:
+                # pad slots may carry arbitrary global ids — clamp into
+                # the shard so rebased indices stay in range (val 0)
+                ss = np.clip(ss - dev * ns, 0, ns - 1)
+            s[dev, :k] = ss
+            vv[dev, :k] = v[sel]
+            c[dev, :k] = cnt[sel]
+            dd[dev, :k] = (dst[sel] - dev * ns).astype(np.int32)
+        return s.reshape(d, nt_max * b), c, dd, vv.reshape(d, nt_max * b)
+
+    if local_split:
+        rsrc, rcnt, rdst, rval = _bucket_res(~task_is_local, False)
+        lsrc, lcnt, ldst, lval = _bucket_res(task_is_local, True)
+    else:
+        rsrc, rcnt, rdst, rval = _bucket_res(
+            np.ones(len(dst), bool), False
+        )
+        lsrc = lcnt = ldst = lval = None
 
     plan = AllGatherHybrid(
         groups=tuple(groups),
-        rsrc=rsrc.reshape(d, nt_max * b),
+        rsrc=rsrc,
         rcnt=rcnt,
         rdst=rdst,
-        rval=rval.reshape(d, nt_max * b),
+        rval=rval,
         num_devices=d,
         shard_size=ns,
         n_pad=n_pad,
         block_size=b,
         num_edges=g.num_edges,
         num_res_edges=res.num_edges,
+        lsrc=lsrc,
+        lcnt=lcnt,
+        ldst=ldst,
+        lval=lval,
     )
     return plan, g
 
@@ -315,9 +416,14 @@ def _local_allgather_hybrid(
 
     ns = plan.shard_size
     n_pad = plan.n_pad
+    # The all-gather and the LOCAL groups/tasks below are mutually
+    # independent: XLA's scheduler may (and on TPU does — see
+    # probes/overlap_evidence.py) run the collective concurrently with
+    # the local aggregation, which is the halo-overlap north star.
     h_full = lax.all_gather(h_local, GRAPH_AXIS, axis=0, tiled=True)
     out = None
-    for grp in plan.groups:
+
+    def run_group(grp, h_src, n_src):
         tp = TilePlan(
             a=grp.a[0],
             tile_row=grp.row[0],
@@ -325,7 +431,7 @@ def _local_allgather_hybrid(
             scale_dst=None,
             scale_src=None,
             num_nodes=ns,
-            n_src=n_pad,
+            n_src=n_src,
             tile_rows=grp.tile_rows,
             tile_cols=grp.tile_cols,
             num_tiles=grp.a.shape[1],
@@ -333,24 +439,43 @@ def _local_allgather_hybrid(
             pack=grp.pack,
             bits=grp.bits,
         )
-        part = bcsr_spmm(tp, h_full, h_mode=tile_h_mode)
+        return bcsr_spmm(tp, h_src, h_mode=tile_h_mode)
+
+    def run_res(s, c, dd, vv, h_src, n_src):
+        nt = c.shape[0]
+        rp = AggregationPlan(
+            src=s,
+            count=c,
+            dst=dd,
+            val=vv,
+            edge_perm=None,
+            num_nodes=ns,
+            n_src=n_src,
+            block_size=plan.block_size,
+            num_tasks=nt,
+            num_edges=1,  # nonzero: pad tasks have val 0 -> zeros
+            sorted_by_dst=True,
+            partition_starts=(0, nt),
+        )
+        return spmm_xla(rp, h_src, gather_dtype=residual_gather_dtype)
+
+    for grp in plan.groups:
+        part = run_group(
+            grp,
+            h_local if grp.local else h_full,
+            ns if grp.local else n_pad,
+        )
         out = part if out is None else out + part
-    nt = plan.rcnt.shape[1]
-    rp = AggregationPlan(
-        src=plan.rsrc[0],
-        count=plan.rcnt[0],
-        dst=plan.rdst[0],
-        val=plan.rval[0],
-        edge_perm=None,
-        num_nodes=ns,
-        n_src=n_pad,
-        block_size=plan.block_size,
-        num_tasks=nt,
-        num_edges=1,  # nonzero: pad tasks have val 0 and contribute zeros
-        sorted_by_dst=True,
-        partition_starts=(0, nt),
+    if plan.lsrc is not None:
+        part = run_res(
+            plan.lsrc[0], plan.lcnt[0], plan.ldst[0], plan.lval[0],
+            h_local, ns,
+        )
+        out = part if out is None else out + part
+    res = run_res(
+        plan.rsrc[0], plan.rcnt[0], plan.rdst[0], plan.rval[0],
+        h_full, n_pad,
     )
-    res = spmm_xla(rp, h_full, gather_dtype=residual_gather_dtype)
     return res if out is None else out + res
 
 

@@ -381,3 +381,39 @@ def test_bench_add_transpose_grads_match():
     g2 = jax.grad(lambda x: jnp.sum(patched.run(x) ** 2))(h)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_spmm_nn_matches_split():
+    """Fused aggregate+GEMM (O5 analog): (agg, agg @ w) == dense oracle.
+
+    On CPU the dense parts take the portable split fallback; the Pallas
+    epilogue itself is validated on-chip (probes / verify drives)."""
+    import jax
+    import numpy as np
+
+    from gnn_computing_tpu.aggregator import Aggregator
+    from gnn_computing_tpu.graph.synthetic import (
+        normal_features,
+        rmat_graph,
+    )
+    from gnn_computing_tpu.ops import reference as ref
+    from gnn_computing_tpu.ops.fused_nn import hybrid_spmm_nn
+    from gnn_computing_tpu.ops.validate import assert_valid
+
+    g = rmat_graph(2048, 40000, seed=5, with_val=False)
+    sched = Aggregator.schedule_hybrid(
+        g, tile_rows=256, threshold=8, residual_block=4,
+        tile_dtype=np.int8, with_transpose=False,
+    )
+    h = normal_features(g.num_nodes, 32, seed=1) * 0.1
+    w = normal_features(32, 32, seed=2) * 0.1
+    agg, trans = jax.jit(
+        lambda s, x, ww: hybrid_spmm_nn(s, x, ww)
+    )(sched, jnp.asarray(h), jnp.asarray(w))
+    want_agg = ref.spmm_dense(g, h)
+    assert_valid(np.asarray(agg), want_agg, what="fused agg")
+    assert_valid(
+        np.asarray(trans),
+        want_agg @ np.asarray(w, np.float64),
+        what="fused transform",
+    )
