@@ -814,7 +814,7 @@ def main():
     )
     ap.add_argument(
         "--model", default="gcn",
-        choices=["gcn", "gat", "sage", "spmm", "sddmm"],
+        choices=["gcn", "gat", "sage", "spmm", "sddmm", "edgemlp"],
         help="gcn/gat/sage = 3-layer model forwards (fig7 analogs). "
         "spmm/sddmm = the BASELINE.json north-star kernel metrics: one "
         "aggregation pass at f=128 (spmm, hybrid plan) / per-edge feature "
@@ -1146,6 +1146,40 @@ def main():
         )
         log(f"first call: {r.compile_s:.1f}s")
         log(f"sage aggregate: {r.min_s * 1e3:.2f} ms")
+        em.finish()
+        return
+
+    if args.model == "edgemlp":
+        # O13 per-edge MLP aggregation (aggr_nn.h:11-288 semantics) at the
+        # reference's 32x32 W.  No published V100 number exists for the
+        # standalone op — vs_baseline uses the GCN per-pass anchor as the
+        # (harsh) proxy, same convention as sddmm.
+        from gnn_computing_tpu.ops.edge_mlp import edge_mlp_chunked
+        from gnn_computing_tpu.utils.timing import benchmark_chained
+
+        f = 32
+        plan = build_gather(
+            g, args.block_size, n, m, args.graph,
+            check_only=(args.phase == "build"),
+        )
+        if args.phase == "build":
+            log("[bench] build phase done (gather plan cached)")
+            return
+        plan = plan.device_put()
+        h = jnp.asarray(normal_features(n, f, seed=3) * 0.1)
+        w = jnp.asarray(normal_features(f, f, seed=4) * 0.1)
+        log("compiling + warmup...")
+        em = Emitter(
+            f"edgemlp_{args.scale_label}_scale_edges_per_s_per_chip",
+            baselines["gcn"], lambda t: m / t,
+            capture_extra={"model": "edgemlp"},
+        )
+        r = benchmark_chained(
+            lambda hh, p, ww: edge_mlp_chunked(p, hh, ww),
+            h, plan, w, iters=args.iters, reps=3, on_rep=em.on_rep,
+        )
+        log(f"first call: {r.compile_s:.1f}s")
+        log(f"edge_mlp pass: {r.min_s * 1e3:.2f} ms")
         em.finish()
         return
 

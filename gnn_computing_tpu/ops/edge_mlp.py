@@ -21,19 +21,23 @@ from gnn_computing_tpu.schedule.plan import AggregationPlan
 def edge_mlp(
     plan: AggregationPlan, h: jnp.ndarray, w: jnp.ndarray
 ) -> jnp.ndarray:
-    """out[i] = sum over edges e=(j->i) of relu((h[i] + h[j]) @ W)."""
+    """out[i] = sum over edges e=(j->i) of relu((h[i] + h[j]) @ W).
+
+    The GEMM distributes over the add: relu((h_i + h_j) W) =
+    relu(u_i + u_j) with u = h W computed ONCE per call — m per-edge
+    [f x fout] GEMMs collapse into one [n, f] @ [f, fout] (the
+    redundancy-bypass move the reference applies to SAGE-LSTM,
+    Figure7/main.cu:198-203, applied to aggr_nn.h's COMP edge MLP).
+    Per-edge work is then gather + add + relu + sum — no MXU at all."""
     nt, b = plan.num_tasks_padded, plan.block_size
-    f = h.shape[-1]
-    src_rows = jnp.take(h, plan.src_flat(), axis=0)
-    dst_rows = jnp.take(h, jnp.asarray(plan.dst), axis=0)  # [nt, f]
-    z = src_rows.reshape(nt, b, f) + dst_rows[:, None, :]
     # full f32 matmul: the single-pass bf16 default breaks the 1e-2
     # validation gate (relu boundary crossings amplify rounding)
-    z = jnp.matmul(
-        z.reshape(nt * b, f), w, precision=jax.lax.Precision.HIGHEST
-    )
-    z = jax.nn.relu(z).reshape(nt, b, -1)
-    # pad slots contribute relu((h[0]+h[dst])W) != 0 -> mask them out
+    u = jnp.matmul(h, w, precision=jax.lax.Precision.HIGHEST)
+    fo = u.shape[-1]
+    src_rows = jnp.take(u, plan.src_flat(), axis=0)
+    dst_rows = jnp.take(u, jnp.asarray(plan.dst), axis=0)  # [nt, fo]
+    z = jax.nn.relu(src_rows.reshape(nt, b, fo) + dst_rows[:, None, :])
+    # pad slots contribute relu(u[0]+u[dst]) != 0 -> mask them out
     z = jnp.where(plan.slot_mask()[:, :, None], z, 0.0)
     task = z.sum(axis=1)
     return jax.ops.segment_sum(
@@ -42,3 +46,46 @@ def edge_mlp(
         num_segments=plan.num_nodes,
         indices_are_sorted=plan.sorted_by_dst,
     )
+
+
+def edge_mlp_chunked(
+    plan: AggregationPlan,
+    h: jnp.ndarray,
+    w: jnp.ndarray,
+    chunk_tasks: int = 1 << 19,
+) -> jnp.ndarray:
+    """Reddit-scale edge_mlp: scan over task chunks so the materialized
+    [slots, fout] gather+relu intermediate stays bounded (the unchunked
+    form is ~16 GB at 114.6M edges)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    nt, b = plan.num_tasks_padded, plan.block_size
+    u = jnp.matmul(h, w, precision=jax.lax.Precision.HIGHEST)
+    fo = u.shape[-1]
+    src = plan.src_flat().reshape(nt, b)
+    dst = jnp.asarray(plan.dst)
+    cnt = jnp.asarray(plan.count)
+    nchunks = -(-nt // chunk_tasks)
+    nt_pad = nchunks * chunk_tasks
+    if nt_pad != nt:
+        src = jnp.pad(src, ((0, nt_pad - nt), (0, 0)))
+        dst = jnp.pad(dst, (0, nt_pad - nt))
+        cnt = jnp.pad(cnt, (0, nt_pad - nt))
+    src = src.reshape(nchunks, chunk_tasks, b)
+    dstc = dst.reshape(nchunks, chunk_tasks)
+    cntc = cnt.reshape(nchunks, chunk_tasks)
+
+    def body(acc, c):
+        s, d, k = c
+        g = jnp.take(u, s.reshape(-1), axis=0).reshape(
+            chunk_tasks, b, fo
+        )
+        z = jax.nn.relu(g + jnp.take(u, d, axis=0)[:, None, :])
+        mask = (jnp.arange(b)[None, :] < k[:, None])[:, :, None]
+        task = jnp.where(mask, z, 0.0).sum(axis=1)
+        return acc.at[d].add(task), None
+
+    acc = jnp.zeros((plan.num_nodes, fo), jnp.float32)
+    acc, _ = lax.scan(body, acc, (src, dstc, cntc))
+    return acc

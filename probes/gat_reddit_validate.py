@@ -8,12 +8,27 @@ graph, with the attention softmax as a scipy CSR matmul (np.add.at over
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python probes/gat_reddit_validate.py
 """
 
+import argparse
 import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
+
+ap = argparse.ArgumentParser()
+ap.add_argument(
+    "--phase", choices=["oracle", "chip", "both"], default="both",
+    help="oracle = CPU-only f64 forward (never opens the TPU tunnel — "
+    "safe to run while another chip client is live); chip = validate "
+    "the cached oracle on the TPU",
+)
+args = ap.parse_args()
+
+if args.phase == "oracle":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import bench
 from gnn_computing_tpu.graph.synthetic import normal_features
@@ -25,7 +40,7 @@ ORACLE = os.path.join(bench._cache_dir(), "gat3_reddit_oracle_seed0.npz")
 
 h0 = normal_features(N, BENCH_DIMS[0], seed=123) * 0.1
 
-if not os.path.exists(ORACLE):
+if args.phase in ("oracle", "both") and not os.path.exists(ORACLE):
     import jax
     from scipy.sparse import csr_matrix
 
@@ -55,9 +70,12 @@ if not os.path.exists(ORACLE):
     bench._atomic_savez(ORACLE, out=hh.astype(np.float64))
     print(f"wrote {ORACLE}")
 else:
-    print("oracle cached")
+    print("oracle cached (or skipped)")
 
-# ---- chip forward (fresh import path keeps the TPU backend)
+if args.phase == "oracle":
+    sys.exit(0)
+
+# ---- chip forward
 import jax
 import jax.numpy as jnp
 

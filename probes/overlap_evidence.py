@@ -103,6 +103,13 @@ lowered = jax.jit(fwd).lower(plan_sharded, h_shape)
 compiled = lowered.compile()
 hlo = compiled.as_text()
 print(f"optimized HLO: {len(hlo)} chars")
+raw = os.path.join(
+    "/root/repo", "benchmarks", "results",
+    f"overlap_hlo_{'tpu' if args.tpu else 'cpu'}.txt",
+)
+with open(raw, "w") as fh:
+    fh.write(hlo)
+print(f"raw HLO -> {raw}")
 
 lines = hlo.splitlines()
 ag_def = [

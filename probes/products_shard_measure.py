@@ -44,6 +44,10 @@ def build():
     plan, gp = build_allgather_hybrid(
         g, D, tile_rows=512, tile_cols=128, threshold=48,
         residual_block=4, pack=4,
+        # this probe unpacks groups manually against the FULL gathered H;
+        # local_split rebases local-group cols to the shard, which this
+        # manual path does not model
+        local_split=False,
     )
     log(f"plan build: {time.time() - t0:.0f}s  {plan.stats()}")
     kw = {}

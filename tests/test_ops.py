@@ -269,3 +269,33 @@ def test_spmm_gather_dtype_modes():
     for dt, tol in [(jnp.float16, 2e-2), (jnp.bfloat16, 1e-1)]:
         lossy = np.asarray(spmm_xla(plan, h, gather_dtype=dt))
         np.testing.assert_allclose(lossy, want, rtol=tol, atol=tol)
+
+
+def test_edge_mlp_chunked_matches_oracle():
+    """edge_mlp_chunked (the reddit-scale scan form) == edge_mlp ==
+    f64 oracle, including the u = h @ W redundancy-bypass refactor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnn_computing_tpu.graph.synthetic import normal_features, rmat_graph
+    from gnn_computing_tpu.ops import reference as ref
+    from gnn_computing_tpu.ops.edge_mlp import edge_mlp, edge_mlp_chunked
+    from gnn_computing_tpu.ops.validate import assert_valid
+    from gnn_computing_tpu.schedule import neighbor_grouping_plan
+
+    g = rmat_graph(700, 9000, seed=9, with_val=False)
+    plan = neighbor_grouping_plan(g, 8).device_put()
+    h = normal_features(g.num_nodes, 16, seed=1) * 0.3
+    w = normal_features(16, 16, seed=2) * 0.3
+    want = ref.edge_mlp_dense(g, h, w)
+    got = np.asarray(
+        jax.jit(edge_mlp)(plan, jnp.asarray(h), jnp.asarray(w))
+    )
+    assert_valid(got, want, what="edge_mlp")
+    got_c = np.asarray(
+        jax.jit(
+            lambda p, x, ww: edge_mlp_chunked(p, x, ww, chunk_tasks=256)
+        )(plan, jnp.asarray(h), jnp.asarray(w))
+    )
+    assert_valid(got_c, want, what="edge_mlp_chunked")
