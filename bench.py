@@ -894,14 +894,15 @@ def main():
         "output-byte-bound).",
     )
     ap.add_argument(
-        "--gat-dot-mode", default="exact",
+        "--gat-dot-mode", default="split2",
         choices=["exact", "split2", "default"],
-        help="GAT maxdot tile-kernel dot precision: exact (HIGHEST f32, "
-        "~6 MXU passes/tile), split2 (3 bf16 passes — hi/lo bf16 score "
-        "chunks against the 16-bit h residue pair, ~2^-16 relative: the "
-        "gate-passing twodot error class), or default (1 bf16 pass — "
-        "single-rounds the score/h operands, measured 2.2%% outside the "
-        "1e-2 gate at reddit scale; timing-only)",
+        help="GAT maxdot tile-kernel dot precision.  split2 (default): "
+        "3 bf16 passes — hi/lo bf16 score chunks against the 16-bit h "
+        "residue pair; measured 0/7.45M bad vs the f64 oracle at reddit "
+        "scale (probes/gat_reddit_validate.py) and ~150 ns/tile faster "
+        "than exact.  exact = HIGHEST f32 (~6 passes).  default = 1 "
+        "bf16 pass — single-rounds the score/h operands, measured 2.2%% "
+        "outside the 1e-2 gate at reddit scale; timing-only.",
     )
     ap.add_argument(
         "--input-dtype", default=None, choices=["f32", "bf16"],
@@ -1096,7 +1097,25 @@ def main():
         return
 
     if args.tile_cols is None:
-        args.tile_cols = 128
+        # measured r5: wider tiles win at reddit scale for the model
+        # forwards (GCN c256/t48 120.6 vs c128/t24 123.7 ms; GAT
+        # c256/t32 292.2 vs 301.7) — fewer, larger operand DMAs at the
+        # same A bytes and higher coverage at the area-equivalent
+        # threshold.  sddmm keeps c128 (its per-cell output layout is
+        # geometry-bound, r256 HBM fit); sparse scales keep the
+        # products-curve geometry.
+        args.tile_cols = (
+            256
+            if args.scale == "reddit"
+            and args.model in ("gcn", "gat", "spmm")
+            else 128
+        )
+    if (
+        args.threshold is None
+        and args.scale == "reddit"
+        and args.tile_cols == 256
+    ):
+        args.threshold = 32 if args.model == "gat" else 48
 
     if args.model == "sage":
         # SAGE-LSTM on the presampled fixed-16-neighbor graph
