@@ -931,7 +931,10 @@ def main():
     args.bit_tiles = (
         (
             args.tile_dtype == "int8"
-            and (args.scale == "products" or args.train)
+            and (
+                args.scale in ("products", "citation", "ppa")
+                or args.train
+            )
         )
         if args.bit_tiles == "auto"
         else args.bit_tiles == "on"
@@ -1320,10 +1323,16 @@ def main():
     # that fits — products is residual-gather-dominated at ANY geometry.
     if args.scale in ("products", "citation", "ppa"):
         # sparse scales (mean degree 50 / 10 / 74 vs reddit's 492) need
-        # much sparser tiling; citation/ppa inherit the products
-        # geometry (probes/scale_plan_curve.py refines per graph)
+        # much sparser tiling.  Thresholds from the measured host curves
+        # (r5): ppa t96 = 84.2% coverage / 6.4 GB A (t384 left a 13.7M-
+        # edge residual in the chunked-gather regime — measured 1002 ms);
+        # citation t48 = 64.5% / 11.1 GB pre-bit-split (deg-10 citation
+        # is gather physics either way); products keeps t384 (t48 was
+        # 530k tiles > the SMEM prefetch ceiling).
         if args.threshold is None:
-            args.threshold = 384
+            args.threshold = {
+                "products": 384, "ppa": 96, "citation": 48,
+            }[args.scale]
         if args.tile_rows is None:
             args.tile_rows = 1024
         if args.pack is None:
