@@ -54,7 +54,8 @@ def bf16_residue_chunks(x: jnp.ndarray, n: int) -> list:
 # measured per-tile times (bits 239.7/157/157 ns at f=128/64/32 vs int8
 # 237.8) show the decode eats exactly the A-DMA saving — bit tiles are a
 # MEMORY lever (A 7.9 -> 2.8 GB), not a time lever, on this part.
-BITS_DECODE = "concat_i32"
+BITS_DECODE = "mxu_ladder"  # bcsr_spmm only; other kernels need the
+# decoded tile for VPU scoring and read the concat_i32 path below
 
 
 def decode_bit_tile(blk: jnp.ndarray, out_dtype) -> jnp.ndarray:
@@ -310,6 +311,31 @@ def bcsr_spmm_pallas(
         def one(k):
             a_blk = a_ref[k]
             h_blk = h_refs[k][...]
+            if tp.bits and BITS_DECODE == "mxu_ladder":
+                # decode-free bit-tile dot: with the plane-major packing
+                # (bit b of w[i, c] = cell (b*R/8 + i, c)) and the shift
+                # ladder s_b = w >> b, the plane identity
+                #   plane_b = s_b - 2*s_{b+1}
+                # moves the decode ONTO the MXU: 8 short dots t_b =
+                # s_b @ H (same total streamed rows as the decoded
+                # [R, C] dot; s_b <= 255 is exact in bf16) and the
+                # [R, w]-sized output fixup replaces the 8-plane
+                # shift+mask+concat+convert of the VPU decode — the
+                # measured term that ate the bit tiles' 8x A-DMA saving.
+                s0 = a_blk.astype(jnp.int32)
+                ts = []
+                for b in range(8):
+                    sb = (s0 >> b).astype(h_blk.dtype)
+                    ts.append(
+                        jnp.dot(
+                            sb,
+                            h_blk,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                parts = [ts[b] - 2.0 * ts[b + 1] for b in range(7)]
+                parts.append(ts[7])
+                return jnp.concatenate(parts, axis=0)
             if tp.bits:
                 a_blk = decode_bit_tile(a_blk, h_blk.dtype)
             elif a_blk.dtype != h_blk.dtype:  # int8 count tiles upcast free
