@@ -479,6 +479,33 @@ def _hybrid_row_shift(tp, plan, att, relu_slope):
     return jnp.where(jnp.isfinite(m), m, 0.0)
 
 
+def _global_bound_shift(att, relu_slope):
+    """O(n) overflow bound: sh_i = max(ad_i + A, s*ad_i + s*A) with
+    A = max_j as_j guarantees every branch product exp(b*(ad_i+as_j) -
+    sh_i) <= 1 (b in {1, s}) WITHOUT streaming the adjacency — the
+    exact per-destination rowmax (_hybrid_row_shift) costs one full
+    A-pass per layer (measured 48.3 ms/layer at reddit train scale,
+    ~1/10 of the whole step).  Trade-off: rows whose actual neighbor
+    max is far below the global A under-scale num AND den equally (the
+    shift cancels), so the result is exact unless den underflows —
+    which needs a logit gap > ~80, far outside trained-GAT ranges; the
+    exact rowmax stays available as stabilize='exact'."""
+    ad = att[:, 0].astype(jnp.float32)
+    a_max = jnp.max(att[:, 1].astype(jnp.float32))
+    m = jnp.maximum(ad + a_max, relu_slope * (ad + a_max))
+    return jnp.where(jnp.isfinite(m), m, 0.0)
+
+
+def _resolve_shift(tp, plan, att, relu_slope, stabilize):
+    if stabilize == "bound":
+        return jax.lax.stop_gradient(
+            _global_bound_shift(att, relu_slope)
+        )
+    return jax.lax.stop_gradient(
+        _hybrid_row_shift(tp, plan, att, relu_slope)
+    )
+
+
 def _hybrid_gat_impl(
     tp, plan, h, att, relu_slope, strategy,
     att_gather_dtype=None, h_gather_dtype=None, stabilize=False,
@@ -490,9 +517,7 @@ def _hybrid_gat_impl(
     # (a second multi-GB A traversal in the backward, plus max
     # subgradient noise).
     if stabilize and row_shift is None:
-        row_shift = jax.lax.stop_gradient(
-            _hybrid_row_shift(tp, plan, att, relu_slope)
-        )
+        row_shift = _resolve_shift(tp, plan, att, relu_slope, stabilize)
     num, den = gat_bcsr(
         tp, h, att, relu_slope, strategy, row_shift=row_shift,
         dot_mode=dot_mode,
@@ -534,9 +559,7 @@ def _hybrid_gat_fwd(
     # shift computed HERE and saved: the backward reuses it instead of
     # re-streaming the whole A array through the rowmax kernel
     shift = (
-        jax.lax.stop_gradient(
-            _hybrid_row_shift(tp, plan, att, relu_slope)
-        )
+        _resolve_shift(tp, plan, att, relu_slope, stabilize)
         if stabilize
         else None
     )

@@ -73,3 +73,48 @@ def test_residual_only_stabilized_wide_logits():
         g, np.asarray(h), np.asarray(att[:, 0]), np.asarray(att[:, 1])
     )[0]
     assert_valid(out, expect, what="stabilized gather GAT wide logits")
+
+
+def test_bound_shift_matches_exact_rowmax():
+    """stabilize='bound' (O(n) global-bound shift — no A-stream) must
+    match stabilize=True (exact per-destination rowmax) and the f64
+    oracle, including at wide logits where the unstabilized form
+    overflows."""
+    for att_scale in (0.1, 15.0):
+        g, h, att, agg = _setup(att_scale)
+        o_exact = np.asarray(
+            jax.jit(lambda a, x, t: a.run_gat(x, t, stabilize=True))(
+                agg, h, att
+            )
+        )
+        o_bound = np.asarray(
+            jax.jit(lambda a, x, t: a.run_gat(x, t, stabilize="bound"))(
+                agg, h, att
+            )
+        )
+        assert np.isfinite(o_bound).all()
+        np.testing.assert_allclose(o_exact, o_bound, rtol=1e-4, atol=1e-6)
+        want, _, _ = ref.gat_aggregate_dense(
+            g, np.asarray(h, np.float64), np.asarray(att[:, 0]),
+            np.asarray(att[:, 1]),
+        )
+        assert_valid(o_bound, want, what=f"bound shift (scale {att_scale})")
+
+
+def test_bound_shift_grad_matches_exact():
+    g, h, att, agg = _setup(0.5)
+    ct = jnp.asarray(normal_features(g.num_nodes, 16, seed=5) * 0.1)
+
+    def loss(mode, x, t):
+        return jnp.sum(agg.run_gat(x, t, stabilize=mode) * ct)
+
+    gh_e, ga_e = jax.grad(lambda x, t: loss(True, x, t), (0, 1))(h, att)
+    gh_b, ga_b = jax.grad(
+        lambda x, t: loss("bound", x, t), (0, 1)
+    )(h, att)
+    np.testing.assert_allclose(
+        np.asarray(gh_e), np.asarray(gh_b), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ga_e), np.asarray(ga_b), rtol=1e-4, atol=1e-5
+    )
