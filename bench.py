@@ -1090,8 +1090,11 @@ def main():
         # BOTH the forward and transposed tile plans (A is 7.9 GB each at
         # r512 -> "Used 19.80G of 15.75G hbm"; r256 is 5+5 GB and fits).
         if args.threshold is None:
-            # area-equivalent to the r256/c128 t24 ladder optimum
-            args.threshold = 48 if (args.tile_cols or 256) == 256 else 24
+            # measured r5: t24 beats the area-equivalent t48 for BOTH
+            # trains (GCN 358.8 vs 366.9 ms; GAT 1561 vs 1729 with the
+            # bound shift) — the backward residual costs ~3x the
+            # forward's per edge, so the crossover sits at denser tiles
+            args.threshold = 24
         if args.tile_rows is None:
             args.tile_rows = 256
         if args.tile_cols is None:
