@@ -49,11 +49,18 @@ def parser(desc: str) -> argparse.ArgumentParser:
     )
     ap.add_argument("--outfea", type=int, default=32)
     ap.add_argument("--out", default=None, help="results file override")
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated dataset-name filter (e.g. rmat_mid)",
+    )
     return ap
 
 
 def datasets(args):
     table = QUICK_DATASETS if args.quick else SYN_DATASETS
+    only = getattr(args, "only", None)
+    if only:
+        table = {k: v for k, v in table.items() if k in only.split(",")}
     from gnn_computing_tpu.graph.synthetic import community_graph, rmat_graph
 
     for name, (n, m) in table.items():
